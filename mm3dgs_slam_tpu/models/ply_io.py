@@ -1,0 +1,127 @@
+"""Binary PLY checkpoint I/O, byte-compatible with the reference schema.
+
+Attribute layout (gaussian_model.py:205-257):
+  x y z nx ny nz f_dc_{0..2} f_rest_{0..3R-1} opacity scale_{0..2}
+  rot_{0..3} rgb_{0..2}           (all float32, little-endian binary)
+
+Implemented directly on numpy (the environment has no plyfile); the writer
+emits the standard ``binary_little_endian 1.0`` format that plyfile/Open3D
+and the reference's own loader (gaussian_model.py:266-363) read back.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+
+def _attribute_names(n_rest: int) -> list[str]:
+    names = ["x", "y", "z", "nx", "ny", "nz"]
+    names += [f"f_dc_{i}" for i in range(3)]
+    names += [f"f_rest_{i}" for i in range(3 * n_rest)]
+    names += ["opacity"]
+    names += [f"scale_{i}" for i in range(3)]
+    names += [f"rot_{i}" for i in range(4)]
+    names += [f"rgb_{i}" for i in range(3)]
+    return names
+
+
+def save_ply(
+    path: str,
+    xyz: np.ndarray,            # [N, 3]
+    features_dc: np.ndarray,    # [N, 1, 3]
+    features_rest: np.ndarray,  # [N, R, 3]
+    opacity: np.ndarray,        # [N, 1]
+    scaling: np.ndarray,        # [N, 3]
+    rotation: np.ndarray,       # [N, 4]
+    rgb: np.ndarray,            # [N, 3]
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = xyz.shape[0]
+    n_rest = features_rest.shape[1]
+
+    # Channel-major flattening (torch .transpose(1,2).flatten(1)): for
+    # [N, R, C] SH blocks the reference stores f_*_{c*R + r}.
+    f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, -1)
+    f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, -1)
+
+    cols = np.concatenate(
+        [
+            xyz,
+            np.zeros_like(xyz),  # normals
+            f_dc,
+            f_rest,
+            opacity,
+            scaling,
+            rotation,
+            rgb,
+        ],
+        axis=1,
+    ).astype("<f4")
+
+    names = _attribute_names(n_rest)
+    assert cols.shape[1] == len(names), (cols.shape, len(names))
+
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+    header += [f"property float {a}" for a in names]
+    header += ["end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(np.ascontiguousarray(cols).tobytes())
+
+
+def load_ply(path: str) -> dict:
+    """Read a (reference-schema) binary-little-endian PLY into arrays.
+
+    Returns dict with xyz, features_dc [N,1,3], features_rest [N,R,3],
+    opacity [N,1], scaling [N,3], rotation [N,4], rgb [N,3].
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    head_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:head_end].decode("ascii").splitlines()
+    assert header[0].strip() == "ply"
+    fmt = [l for l in header if l.startswith("format")][0]
+    n = int([l for l in header if l.startswith("element vertex")][0].split()[-1])
+    props = [l.split()[-1] for l in header if l.startswith("property")]
+    types = [l.split()[1] for l in header if l.startswith("property")]
+    assert all(t in ("float", "float32") for t in types), "only float32 PLY supported"
+
+    if "binary_little_endian" in fmt:
+        arr = np.frombuffer(data[head_end:], dtype="<f4", count=n * len(props))
+        arr = arr.reshape(n, len(props))
+    else:  # ascii fallback
+        arr = np.loadtxt(
+            data[head_end:].decode("ascii").splitlines(), dtype=np.float32
+        ).reshape(n, len(props))
+
+    col = {name: arr[:, i] for i, name in enumerate(props)}
+
+    def block(prefix):
+        names = sorted(
+            (p for p in props if re.fullmatch(rf"{prefix}_\d+", p)),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        return np.stack([col[p] for p in names], axis=1) if names else None
+
+    xyz = np.stack([col["x"], col["y"], col["z"]], axis=1)
+    f_dc = block("f_dc")          # [N, 3]
+    f_rest_flat = block("f_rest")  # [N, 3R]
+    n_rest = f_rest_flat.shape[1] // 3 if f_rest_flat is not None else 0
+    # invert channel-major flattening: [N, 3, R] -> [N, R, 3]
+    features_dc = f_dc.reshape(n, 3, 1).transpose(0, 2, 1)
+    if n_rest:
+        features_rest = f_rest_flat.reshape(n, 3, n_rest).transpose(0, 2, 1)
+    else:
+        features_rest = np.zeros((n, 0, 3), np.float32)
+
+    return {
+        "xyz": xyz,
+        "features_dc": features_dc,
+        "features_rest": features_rest,
+        "opacity": col["opacity"][:, None],
+        "scaling": block("scale"),
+        "rotation": block("rot"),
+        "rgb": block("rgb") if "rgb_0" in col else np.zeros((n, 3), np.float32),
+    }

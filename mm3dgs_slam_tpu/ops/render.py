@@ -1,0 +1,136 @@
+"""High-level differentiable render: the TPU equivalent of slam/renderer.py.
+
+One fused multi-channel composite produces what the reference needs two CUDA
+launches for (RGB pass + [z, 1, z^2] depth/silhouette pass,
+renderer.py:196-214). The returned dict keeps the reference's contract:
+``render`` [3,H,W], ``depth`` [3,H,W] (expected depth, silhouette,
+E[z^2]), ``radii`` [N], ``visibility_filter`` [N].
+
+Faithfully mirrored quirks of the reference's default configs
+(pipeline.transform_means_python == true, TUM.yml:28 / UTMM.yml:31):
+
+  * pose gradients flow through a jnp mean transform; the rasterizer sees
+    w2c = I (renderer.py:117-118,142-153),
+  * rotations are passed UNtransformed even though means were moved to the
+    camera frame (the computed rotation transform is discarded at
+    renderer.py:152,171-175) — so anisotropic covariances keep their world
+    orientation; with force_isotropic (UTMM) the quirk is invisible,
+  * camera position for SH view directions is the origin in that mode.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import TileBins, build_bins
+from .camera import Camera
+from .composite import composite_tiles
+from .oracle import composite_oracle
+from .pose import pose_to_w2c
+from .projection import ProjectedGaussians, project_gaussians
+
+
+class RenderSettings(NamedTuple):
+    """Static rasterization settings (hashable; specializes the jit)."""
+
+    cam: Camera
+    sh_degree: int = 0
+    transform_means_python: bool = True
+    force_isotropic: bool = False
+    white_background: bool = False
+    pair_cap: int = 1 << 20
+    max_per_tile: int = 1024
+    chunk: int = 32
+    max_tiles_per_gaussian: int = 64
+    use_oracle: bool = False  # exact dense compositor (tests / tiny scenes)
+
+
+class ActivatedGaussians(NamedTuple):
+    """Post-activation Gaussian attributes (see models/gaussians.py)."""
+
+    xyz: jnp.ndarray        # [N, 3]
+    scales: jnp.ndarray     # [N, 3] post-exp
+    rotations: jnp.ndarray  # [N, 4] post-normalize
+    opacity: jnp.ndarray    # [N] post-sigmoid
+    shs: jnp.ndarray        # [N, K, 3]
+    alive: jnp.ndarray      # [N] bool
+
+
+def project_for_pose(
+    g: ActivatedGaussians, camera_pose: jnp.ndarray, rs: RenderSettings
+) -> ProjectedGaussians:
+    """Project the map for a 7-vec w2c pose, honoring the transform mode."""
+    if rs.force_isotropic:
+        # exp(tile(_scaling[:,0])) (renderer.py:167-168); scales here are
+        # post-exp so tiling column 0 is equivalent.
+        scales = jnp.tile(g.scales[:, :1], (1, 3))
+    else:
+        scales = g.scales
+
+    if rs.transform_means_python:
+        rel_w2c = pose_to_w2c(camera_pose)
+        means_cam = g.xyz @ rel_w2c[:3, :3].T + rel_w2c[:3, 3]
+        w2c = jnp.eye(4, dtype=g.xyz.dtype)
+        means = means_cam
+        campos = jnp.zeros(3, dtype=g.xyz.dtype)
+    else:
+        w2c = pose_to_w2c(camera_pose)
+        means = g.xyz
+        campos = None
+
+    return project_gaussians(
+        means3d=means,
+        scales=scales,
+        rotations=g.rotations,
+        opacities=g.opacity,
+        shs=g.shs,
+        alive=g.alive,
+        w2c=w2c,
+        cam=rs.cam,
+        sh_degree=rs.sh_degree,
+        campos=campos,
+    )
+
+
+def background(rs: RenderSettings, channels: int = 6) -> jnp.ndarray:
+    """Per-channel background; the reference reuses the RGB bg for the
+    depth/sil pass (renderer.py:79-83,207-214)."""
+    bg_rgb = jnp.ones(3) if rs.white_background else jnp.zeros(3)
+    reps = channels // 3
+    return jnp.tile(bg_rgb, reps).astype(jnp.float32)
+
+
+def render(
+    g: ActivatedGaussians,
+    camera_pose: jnp.ndarray,
+    rs: RenderSettings,
+    bins: TileBins | None = None,
+):
+    """Render the map from a pose. Returns the reference's render dict plus
+    the bins used (callers may cache them across optimizer iterations)."""
+    proj = project_for_pose(g, camera_pose, rs)
+    bg = background(rs)
+
+    if rs.use_oracle:
+        img6 = composite_oracle(proj, rs.cam, bg)
+        bins_used = bins
+    else:
+        if bins is None:
+            bins = build_bins(
+                proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian
+            )
+        img6 = composite_tiles(
+            proj, bins, rs.cam, bg, rs.max_per_tile, rs.chunk
+        )
+        bins_used = bins
+
+    return {
+        "render": img6[:3],
+        "depth": img6[3:6],
+        "radii": proj.radius,
+        "visibility_filter": proj.radius > 0,
+        "proj": proj,
+        "bins": bins_used,
+    }

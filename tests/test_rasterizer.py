@@ -1,0 +1,174 @@
+"""Rasterizer tests: tiled composite vs the exact oracle, gradients, props."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm3dgs_slam_tpu.ops.binning import build_bins
+from mm3dgs_slam_tpu.ops.composite import composite_tiles
+from mm3dgs_slam_tpu.ops.oracle import composite_oracle
+from mm3dgs_slam_tpu.ops.render import (
+    ActivatedGaussians,
+    RenderSettings,
+    background,
+    project_for_pose,
+    render,
+)
+
+from utils import allclose_report, random_scene, small_camera
+
+IDENTITY_POSE = jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype=jnp.float32)
+
+
+def _settings(cam, **kw):
+    defaults = dict(
+        cam=cam, pair_cap=1 << 15, max_per_tile=512, chunk=16,
+        max_tiles_per_gaussian=256,
+    )
+    defaults.update(kw)
+    return RenderSettings(**defaults)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tiled_matches_oracle(seed):
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(seed), 300, cam, n_dead=30)
+    rs = _settings(cam)
+    proj = project_for_pose(g, IDENTITY_POSE, rs)
+    bg = background(rs)
+
+    img_oracle = composite_oracle(proj, cam, bg)
+    bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+    assert not bool(bins.overflow)
+    img_tiled = composite_tiles(proj, bins, cam, bg, rs.max_per_tile, rs.chunk)
+    assert allclose_report(img_tiled, img_oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_white_background():
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(3), 50, cam)
+    rs = _settings(cam, white_background=True)
+    out = render(g, IDENTITY_POSE, rs)
+    # pixels with no Gaussians must be exactly bg (silhouette ~ bg too: the
+    # reference adds the same RGB bg to the depth pass).
+    sil = np.asarray(out["depth"][1])
+    rgb = np.asarray(out["render"])
+    empty = sil <= 1.0  # everywhere
+    corner = rgb[:, 0, 0]
+    # corner may have gaussians; check a pixel with zero silhouette if any
+    zero_sil = np.argwhere(np.asarray(out["depth"][1]) == 1.0)
+    if len(zero_sil):
+        y, x = zero_sil[0]
+        assert np.allclose(rgb[:, y, x], 1.0, atol=1e-6)
+
+
+def test_silhouette_bounded_and_depth_positive():
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(4), 400, cam)
+    rs = _settings(cam)
+    out = render(g, IDENTITY_POSE, rs)
+    sil = np.asarray(out["depth"][1])
+    assert sil.max() <= 1.0 + 1e-5
+    assert sil.min() >= 0.0
+    depth = np.asarray(out["depth"][0])
+    assert depth.min() >= 0.0
+    # E[z^2] >= E[z]^2 where silhouette is saturated (variance >= 0)
+    m = sil > 0.99
+    var = np.asarray(out["depth"][2])[m] - depth[m] ** 2 / np.maximum(sil[m], 1e-9)
+    # (not exactly normalized; just check the raw inequality the tracker uses)
+    assert (np.asarray(out["depth"][2])[m] - depth[m] ** 2 >= -1e-3).all()
+
+
+def test_dead_gaussians_do_not_render():
+    cam = small_camera()
+    g_full = random_scene(jax.random.PRNGKey(5), 200, cam)
+    # kill half
+    alive = jnp.arange(200) < 100
+    g_half = g_full._replace(alive=alive)
+    g_trunc = ActivatedGaussians(*[x[:100] for x in g_full[:-1]], jnp.ones(100, bool))
+    rs = _settings(cam)
+    out_half = render(g_half, IDENTITY_POSE, rs)
+    out_trunc = render(g_trunc, IDENTITY_POSE, rs)
+    assert allclose_report(out_half["render"], out_trunc["render"], atol=1e-5)
+
+
+def test_gradients_match_oracle():
+    cam = small_camera(h=32, w=32, f=40.0)
+    g = random_scene(jax.random.PRNGKey(6), 80, cam)
+    rs = _settings(cam)
+    bg = background(rs)
+    gt = jax.random.uniform(jax.random.PRNGKey(7), (6, 32, 32))
+
+    def loss_tiled(xyz, opacity, shs, scales):
+        gg = g._replace(xyz=xyz, opacity=opacity, shs=shs, scales=scales)
+        proj = project_for_pose(gg, IDENTITY_POSE, rs)
+        bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+        img = composite_tiles(proj, bins, cam, bg, rs.max_per_tile, rs.chunk)
+        return jnp.mean((img - gt) ** 2)
+
+    def loss_oracle(xyz, opacity, shs, scales):
+        gg = g._replace(xyz=xyz, opacity=opacity, shs=shs, scales=scales)
+        proj = project_for_pose(gg, IDENTITY_POSE, rs)
+        img = composite_oracle(proj, cam, bg)
+        return jnp.mean((img - gt) ** 2)
+
+    args = (g.xyz, g.opacity, g.shs, g.scales)
+    gt_grads = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(*args)
+    t_grads = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(t_grads, gt_grads, ["xyz", "op", "shs", "scales"]):
+        assert allclose_report(a, b, atol=5e-5, rtol=5e-3), name
+
+
+def test_pose_gradients_nonzero_and_match_oracle():
+    cam = small_camera(h=32, w=32, f=40.0)
+    g = random_scene(jax.random.PRNGKey(8), 60, cam)
+    rs = _settings(cam)
+    bg = background(rs)
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (6, 32, 32))
+    pose = jnp.array([0.999, 0.02, -0.01, 0.03, 0.05, -0.04, 0.1], jnp.float32)
+
+    def loss(pose7, oracle):
+        rs2 = rs._replace(use_oracle=oracle)
+        out = render(g, pose7, rs2)
+        img = jnp.concatenate([out["render"], out["depth"]], axis=0)
+        return jnp.mean((img - gt) ** 2)
+
+    g_t = jax.grad(lambda p: loss(p, False))(pose)
+    g_o = jax.grad(lambda p: loss(p, True))(pose)
+    assert np.abs(np.asarray(g_t)).max() > 0
+    assert allclose_report(g_t, g_o, atol=1e-5, rtol=5e-3)
+
+
+def test_occlusion_ordering():
+    """A nearer opaque Gaussian must dominate a farther one at the center."""
+    cam = small_camera()
+    xyz = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 4.0]], jnp.float32)
+    scales = jnp.full((2, 3), 0.08, jnp.float32)
+    rot = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (2, 1))
+    opacity = jnp.array([0.95, 0.95], jnp.float32)
+    from mm3dgs_slam_tpu.ops.sh import rgb_to_sh
+
+    shs = rgb_to_sh(jnp.array([[1.0, 0, 0], [0, 1.0, 0]], jnp.float32))[:, None, :]
+    g = ActivatedGaussians(xyz, scales, rot, opacity, shs, jnp.ones(2, bool))
+    rs = _settings(cam)
+    out = render(g, IDENTITY_POSE, rs)
+    cyx = (cam.height // 2, cam.width // 2)
+    r = float(out["render"][0][cyx])
+    gchan = float(out["render"][1][cyx])
+    assert r > 0.8 and gchan < 0.15
+    # depth at center should be near 2 (normalized by silhouette)
+    sil = float(out["depth"][1][cyx])
+    d = float(out["depth"][0][cyx]) / sil
+    # ~5% transmittance leaks the far (z=4) Gaussian into expected depth
+    assert abs(d - 2.0) < 0.35
+    # and the rendered depth must be closer to the near surface than the far
+    assert d < 3.0
+
+
+def test_binning_overflow_flag():
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(10), 500, cam)
+    rs = _settings(cam)
+    proj = project_for_pose(g, IDENTITY_POSE, rs)
+    bins = build_bins(proj, cam, pair_cap=16, max_tiles_per_gaussian=256)
+    assert bool(bins.overflow)
