@@ -8,11 +8,13 @@ from .base import RGBDDataset
 from .tum import TUMDataset
 from .utmm import UTMMDataset
 from .replica import ReplicaDataset
+from .synthetic import SyntheticDataset
 
 _REGISTRY = {
     "tum": TUMDataset,
     "utmm": UTMMDataset,
     "replica": ReplicaDataset,
+    "synthetic": SyntheticDataset,
 }
 
 

@@ -43,8 +43,8 @@ def save_ply(
 
     # Channel-major flattening (torch .transpose(1,2).flatten(1)): for
     # [N, R, C] SH blocks the reference stores f_*_{c*R + r}.
-    f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, -1)
-    f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, -1)
+    f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, 3 * features_dc.shape[1])
+    f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, 3 * n_rest)
 
     cols = np.concatenate(
         [

@@ -1,0 +1,454 @@
+"""SLAM orchestrator — the per-frame track→map loop and artifact writers.
+
+TPU rebuild of slam/SLAM.py:38-502 with the same public surface:
+construct from a config dict, call `.run()`; artifacts are
+``point_cloud/iteration_N/point_cloud.ply`` + ``results.npz`` with keys
+pose_est, pose_gt, keyframes, ate_rmse, psnr_list/ssim_list/lpips_list and
+optional avg_tracking_it_time / avg_mapping_it_time (SLAM.py:294-373), so
+scripts/eval_traj.py & scripts/eval_image.py workflows carry over.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import normalize_config
+from ..data import get_dataset_type
+from ..eval.ate import camera_centers, evaluate_ate_rmse
+from ..eval.depth_est import get_dpt
+from ..eval.lpips import lpips as lpips_fn
+from ..models import gaussians as G
+from ..models.ply_io import load_ply, save_ply
+from ..ops.camera import Camera
+from ..ops.depth import get_scale_shift_ls, depth_to_rgb_np
+from ..ops.losses import psnr as psnr_fn, ssim as ssim_fn
+from ..ops.pose import (
+    pose_to_w2c,
+    propagate_const_vel,
+    propagate_imu,
+    w2c_to_pose,
+)
+from ..ops.render import RenderSettings, render
+from .mapper import KeyFrame, Mapper
+from .tracker import TrackSettings, track_frame
+
+
+def _to_np(x):
+    return None if x is None else np.asarray(x)
+
+
+class SLAM:
+    def __init__(self, cfg: dict):
+        cfg = normalize_config(cfg)
+        self.cfg = cfg
+        self.method = cfg["method"].lower()
+        self.use_imu = (cfg["tracking"]["dynamics_model"] or "").lower() == "imu"
+        self.use_gt_depth = cfg["use_gt_depth"]
+
+        end_idx = cfg.get("early_stop_idx", -1)
+        self.dataset = get_dataset_type(cfg["dataset"])(
+            config_dict=cfg,
+            basedir=cfg["inputdir"],
+            sequence=cfg["scene"],
+            start=cfg["start_idx"],
+            end=end_idx,
+            stride=cfg["stride"],
+            desired_height=cfg["desired_height"],
+            desired_width=cfg["desired_width"],
+            relative_pose=True,
+        )
+        self.n_img = len(self.dataset)
+
+        # Resized intrinsics from the first sample (SLAM.py:65-69).
+        _, _, intrinsics, _, _ = self.dataset[0]
+        cfg["cam"]["cx"] = float(intrinsics[0, 2])
+        cfg["cam"]["cy"] = float(intrinsics[1, 2])
+        cfg["cam"]["fx"] = float(intrinsics[0, 0])
+        cfg["cam"]["fy"] = float(intrinsics[1, 1])
+
+        if self.use_imu:
+            self.tstamps = self.dataset.tstamps
+            self.c2i = jnp.asarray(self.dataset.get_c2i_tf())
+            self.imu_pad = int(cfg["tpu"]["imu_pad"])
+
+        self.output = cfg["outputdir"]
+        os.makedirs(self.output, exist_ok=True)
+
+        cam = Camera(
+            height=cfg["desired_height"], width=cfg["desired_width"],
+            fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
+            cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"],
+        )
+        tpu = cfg["tpu"]
+        self.rs = RenderSettings(
+            cam=cam,
+            sh_degree=cfg["mapping"]["sh_degree"],
+            transform_means_python=cfg["pipeline"]["transform_means_python"],
+            force_isotropic=cfg["pipeline"]["force_isotropic"],
+            white_background=cfg["white_background"],
+            pair_cap=int(tpu["pair_cap"]),
+            max_per_tile=int(tpu["max_per_tile"]),
+            chunk=int(tpu["chunk"]),
+            max_tiles_per_gaussian=int(tpu["max_tiles_per_gaussian"]),
+        )
+
+        # Map state
+        self.gaussians = G.empty_map(G.CAP_QUANTUM, cfg["mapping"]["sh_degree"])
+        self.estimate_pose_list = np.zeros((self.n_img, 7), np.float32)
+        self.gt_pose_list = np.zeros((self.n_img, 7), np.float32)
+
+        # Checkpoint resume (SLAM.py:90-106 + mapper.py:65-71)
+        self._resume = "iteration" in cfg
+        if self._resume:
+            self.load_checkpoint(cfg["iteration"])
+
+        self.adam = G.init_adam(self.gaussians)
+
+        tr = cfg["tracking"]
+        self.track_settings = TrackSettings(
+            rs=self.rs,
+            iters=int(tr["iters"]),
+            method=self.method,
+            use_gt_depth=self.use_gt_depth,
+            use_depth_estimate_loss=bool(tr["use_depth_estimate_loss"]),
+            pearson_weight=float(tr["pearson_weight"]),
+            use_imu_loss=bool(tr["use_imu_loss"]),
+            imu_T_weight=float(tr.get("imu_T_weight", 0.0)),
+            imu_q_weight=float(tr.get("imu_q_weight", 0.0)),
+            position_lr=float(tr["position_lr"]),
+            rotation_lr=float(tr["rotation_lr"]),
+        )
+        self.dyn_model = (tr["dynamics_model"] or "").lower() or None
+
+        self.mapper = Mapper(cfg, self.rs)
+        if self._resume:
+            self._restore_keyframes()
+
+        self.dpt = None
+        if not self.use_gt_depth:
+            self.dpt = get_dpt(cfg["dpt_model"])
+
+        self.video_writer = None
+        if cfg["debug"]["create_video"]:
+            import cv2
+
+            path = os.path.join(self.output, "debug_video.mp4")
+            self.video_writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), cfg["cam"]["fps"],
+                (cfg["desired_width"] * 3, cfg["desired_height"] * 2),
+            )
+
+        self.tracking_time_sum = 0.0
+        self.tracking_iter_count = 0
+        self.rendering_time_sum = 0.0
+        self.rendering_iter_count = 0
+
+    # ------------------------------------------------------------------
+    def load_checkpoint(self, iteration: int):
+        ply_path = os.path.join(
+            self.output, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
+        )
+        data = load_ply(ply_path)
+        n = data["xyz"].shape[0]
+        cap = G.required_capacity(n)
+        m = G.empty_map(cap, self.cfg["mapping"]["sh_degree"])
+        rest_width = m.features_rest.shape[1]
+        fr = data["features_rest"]
+        if fr.shape[1] < rest_width:
+            fr = np.concatenate(
+                [fr, np.zeros((n, rest_width - fr.shape[1], 3), np.float32)], axis=1
+            )
+        idx = np.arange(n)
+        self.gaussians = m._replace(
+            xyz=m.xyz.at[idx].set(data["xyz"]),
+            features_dc=m.features_dc.at[idx].set(data["features_dc"]),
+            features_rest=m.features_rest.at[idx].set(fr),
+            scaling=m.scaling.at[idx].set(data["scaling"]),
+            rotation=m.rotation.at[idx].set(data["rotation"]),
+            opacity=m.opacity.at[idx].set(data["opacity"]),
+            rgb=m.rgb.at[idx].set(data["rgb"]),
+            n_alive=jnp.asarray(n, jnp.int32),
+        )
+        results = np.load(os.path.join(self.output, "results.npz"), allow_pickle=True)
+        pose_est = results["pose_est"]
+        self.estimate_pose_list[: len(pose_est)] = pose_est
+
+    def _restore_keyframes(self):
+        results = np.load(os.path.join(self.output, "results.npz"), allow_pickle=True)
+        g_act = self.gaussians.activated()
+        for kf_dict in results["keyframes"]:
+            kf = KeyFrame(
+                idx=int(kf_dict["idx"]),
+                gt_color=np.asarray(kf_dict["gt_color"]),
+                pose=np.asarray(kf_dict["est_pose"]),
+                gt_depth=_to_np(kf_dict["gt_depth"]),
+                est_depth=_to_np(kf_dict["est_depth"]),
+            )
+            self.mapper.keyframes.append(kf)
+            self.mapper.kf_store.append(kf.gt_color, kf.gt_depth, kf.est_depth, kf.pose)
+        for k in range(len(self.mapper.keyframes)):
+            self.mapper.update_covisibility_graph(k, g_act)
+
+    # ------------------------------------------------------------------
+    def get_scene_radius(self, depth) -> float:
+        return float(jnp.max(depth)) / self.cfg["scene_radius_depth_ratio"]
+
+    def _seed_pose(self, idx: int, imu_meas) -> np.ndarray:
+        """Motion-model pose seed (tracker.py:196-230)."""
+        prev = jnp.asarray(self.estimate_pose_list[idx - 1])
+        if self.dyn_model == "const_velocity" and idx - 2 >= 0:
+            return np.asarray(propagate_const_vel(
+                prev, jnp.asarray(self.estimate_pose_list[idx - 2])
+            ))
+        if self.dyn_model == "imu":
+            assert imu_meas is not None, "IMU measurements must be provided"
+            k = min(len(imu_meas), self.imu_pad)
+            ang = np.zeros((self.imu_pad, 3), np.float32)
+            acc = np.zeros((self.imu_pad, 3), np.float32)
+            val = np.zeros((self.imu_pad,), bool)
+            ang[:k] = imu_meas[:k, 13:16]
+            acc[:k] = imu_meas[:k, 25:28]
+            val[:k] = True
+            if idx - 2 >= 0:
+                prev2 = jnp.asarray(self.estimate_pose_list[idx - 2])
+                dt_cam = self.tstamps[idx - 1] - self.tstamps[idx - 2]
+            else:
+                prev2 = prev
+                dt_cam = 1.0
+            return np.asarray(propagate_imu(
+                prev, prev2, jnp.asarray(ang), jnp.asarray(acc),
+                jnp.asarray(val), self.c2i, float(dt_cam), 1.0 / 100.0,
+            ))
+        return np.asarray(prev)
+
+    def _fit_est_depth(self, idx, est_depth_dev, gt_depth_dev):
+        """Scale the inverse-depth estimate to metric (SLAM.py:411-448)."""
+        if idx == 0 and not self._resume:
+            if self.cfg["dataset"].lower() == "utmm":
+                mask = gt_depth_dev > 0
+                s, b = get_scale_shift_ls(est_depth_dev, gt_depth_dev, mask)
+                return 1.0 / (s * est_depth_dev + b)
+            return (
+                1.0 / (est_depth_dev + 0.001)
+                * self.cfg["cam"]["png_depth_scale"] / 10.0
+            )
+        out = render(
+            self.gaussians.activated(), jnp.asarray(self.estimate_pose_list[idx]),
+            self.rs,
+        )
+        render_depth = out["depth"][0]
+        sil = out["depth"][1]
+        mask = (sil > 0.99) & (est_depth_dev > 1e-6)
+        s, b = get_scale_shift_ls(est_depth_dev, render_depth, mask)
+        return 1.0 / (s * est_depth_dev + b)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        print("Method: " + self.cfg["method"])
+        last_idx = 0
+        try:
+            for idx in range(self.n_img):
+                self._step(idx)
+                last_idx += 1
+                if idx in (self.cfg.get("save_iterations") or []):
+                    self.save_map(idx)
+        except Exception as e:  # always save (SLAM.py:494-502)
+            import traceback
+
+            traceback.print_exc()
+            print("\nSLAM failed. Saving map and results.\n")
+        finally:
+            self.save_map(last_idx)
+            self.save_results(last_idx)
+
+    def _step(self, idx: int):
+        gt_color_np, gt_depth_np, _, gt_c2w, imu_meas = self.dataset[idx]
+        gt_depth_np = gt_depth_np[..., 0]
+        gt_w2c = np.linalg.inv(gt_c2w)
+        gt_color_np = np.transpose(gt_color_np, (2, 0, 1)) / 255.0  # CHW [0,1]
+
+        gt_color = jnp.asarray(gt_color_np, jnp.float32)
+        gt_depth = jnp.asarray(gt_depth_np, jnp.float32)
+
+        est_depth = None
+        est_depth_scaled = None
+        est_depth_np = None
+        if not self.use_gt_depth:
+            if hasattr(self.dpt, "gt_depth"):
+                self.dpt.gt_depth = gt_depth_np
+            est_depth_np = self.dpt.estimate_depth(gt_color_np)
+            est_depth = jnp.asarray(est_depth_np, jnp.float32)
+
+        # --- Tracking --------------------------------------------------
+        if idx == 0:
+            self.estimate_pose_list[idx] = np.asarray(
+                w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+            )
+        elif self.cfg["tracking"]["use_gt_pose"]:
+            self.estimate_pose_list[idx] = np.asarray(
+                w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+            )
+        else:
+            seed = self._seed_pose(idx, imu_meas)
+            t0 = time.perf_counter()
+            pose, _loss = track_frame(
+                self.gaussians.activated(),
+                jnp.asarray(seed, jnp.float32),
+                gt_color,
+                gt_depth,
+                est_depth if est_depth is not None else jnp.zeros_like(gt_depth),
+                self.track_settings,
+            )
+            pose = np.asarray(jax.block_until_ready(pose))
+            if self.cfg["debug"]["get_runtime_stats"]:
+                self.tracking_time_sum += time.perf_counter() - t0
+                self.tracking_iter_count += self.track_settings.iters
+            self.estimate_pose_list[idx] = pose
+
+        # --- Depth-estimate scaling ------------------------------------
+        if not self.use_gt_depth:
+            est_depth_scaled = self._fit_est_depth(idx, est_depth, gt_depth)
+
+        # --- Mapping ---------------------------------------------------
+        if idx == 0:
+            ref_depth = gt_depth if self.use_gt_depth else est_depth_scaled
+            self.mapper.camera_extent = self.get_scene_radius(ref_depth)
+
+        t0 = time.perf_counter()
+        m, adam, new_vis_mask, upd_pose = self.mapper.run_frame(
+            idx, self.gaussians, self.adam,
+            self.estimate_pose_list[idx],
+            gt_color, gt_depth, est_depth_scaled,
+            gt_color_np, gt_depth_np,
+            _to_np(est_depth_scaled), self.n_img,
+        )
+        jax.block_until_ready(m.xyz)
+        if self.cfg["debug"]["get_runtime_stats"]:
+            self.mapper.mapping_time_sum += time.perf_counter() - t0
+            self.mapper.mapping_iter_count += self.mapper.num_iter
+        self.gaussians, self.adam = m, adam
+        self.estimate_pose_list[idx] = upd_pose
+
+        # --- Logging ---------------------------------------------------
+        self.gt_pose_list[idx] = np.asarray(
+            w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+        )
+        if self.video_writer is not None and idx > 0:
+            self._write_video_frame(idx, gt_color_np, gt_depth_np, est_depth_scaled)
+
+    # ------------------------------------------------------------------
+    def render_eval(self, idx: int):
+        out = render(
+            self.gaussians.activated(),
+            jnp.asarray(self.estimate_pose_list[idx], jnp.float32),
+            self.rs,
+        )
+        return out
+
+    def evaluate_images(self, last_idx: int):
+        """PSNR/SSIM/LPIPS every eval_every frames (SLAM.py:197-231)."""
+        psnrs, ssims, lpipss = [], [], []
+        for idx in range(last_idx):
+            if idx != 0 and (idx + 1) % self.cfg["eval_every"] != 0:
+                continue
+            gt_color_np, _, _, _, _ = self.dataset[idx]
+            gt = jnp.asarray(np.transpose(gt_color_np, (2, 0, 1)) / 255.0, jnp.float32)
+            img = self.render_eval(idx)["render"]
+            psnrs.append(float(psnr_fn(img, gt)))
+            ssims.append(float(ssim_fn(img, gt)))
+            lpipss.append(lpips_fn(np.asarray(img), np.asarray(gt)))
+        return psnrs, ssims, lpipss
+
+    def save_map(self, iteration: int):
+        path = os.path.join(
+            self.output, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
+        )
+        d = G.to_numpy_dict(self.gaussians)
+        n_rest_true = (self.cfg["mapping"]["sh_degree"] + 1) ** 2 - 1
+        save_ply(
+            path,
+            xyz=d["xyz"],
+            features_dc=d["features_dc"],
+            features_rest=d["features_rest"][:, :n_rest_true],
+            opacity=d["opacity"],
+            scaling=d["scaling"],
+            rotation=d["rotation"],
+            rgb=d["rgb"],
+        )
+        print("Map saved to " + path)
+
+    def save_results(self, last_idx: int):
+        results = {}
+        est = self.estimate_pose_list[:last_idx]
+        gt = self.gt_pose_list[:last_idx]
+        results["pose_est"] = est
+        results["pose_gt"] = gt
+
+        if self.video_writer is not None:
+            self.video_writer.release()
+
+        results["keyframes"] = np.array(
+            [
+                {
+                    "idx": kf.idx,
+                    "gt_color": kf.gt_color,
+                    "est_pose": kf.pose,
+                    "gt_depth": kf.gt_depth,
+                    "est_depth": kf.est_depth,
+                }
+                for kf in self.mapper.keyframes
+            ],
+            dtype=object,
+        )
+
+        if last_idx > 0:
+            cam_c = camera_centers(est)
+            gt_c = camera_centers(gt)
+            _, ate_c2w = evaluate_ate_rmse(cam_c, gt_c, method="umeyama")
+            _, ate_w2c = evaluate_ate_rmse(est, gt, method="umeyama")
+            results["ate_rmse"] = ate_w2c
+            print(f"Average Trajectory Error RMSE: {ate_w2c} m")
+
+            psnrs, ssims, lpipss = self.evaluate_images(last_idx)
+            results["psnr_list"] = psnrs
+            results["ssim_list"] = ssims
+            results["lpips_list"] = lpipss
+            if psnrs:
+                print("  PSNR : {:>12.7f}".format(np.mean(psnrs)))
+                print("  SSIM : {:>12.7f}".format(np.mean(ssims)))
+                print("  LPIPS: {:>12.7f}".format(np.nanmean(lpipss) if lpipss else float("nan")))
+
+        if self.cfg["debug"]["get_runtime_stats"]:
+            t_it = self.tracking_time_sum / max(self.tracking_iter_count, 1)
+            m_it = self.mapper.mapping_time_sum / max(self.mapper.mapping_iter_count, 1)
+            print(f"\nAverage Tracking/Iteration Time: {t_it * 1000} ms")
+            print(f"Average Mapping/Iteration Time: {m_it * 1000} ms")
+            results["avg_tracking_it_time"] = t_it * 1000
+            results["avg_mapping_it_time"] = m_it * 1000
+
+        np.savez(os.path.join(self.output, "results"), **results)
+        print("Results saved to " + os.path.join(self.output, "results.npz"))
+
+    def _write_video_frame(self, idx, gt_color_np, gt_depth_np, est_depth_scaled):
+        import cv2
+
+        out = self.render_eval(idx)
+        img = np.asarray(out["render"])
+        depth = np.asarray(out["depth"][0])
+        row1 = np.concatenate([gt_color_np, img, np.abs(img - gt_color_np)], axis=2)
+        third = (
+            np.asarray(est_depth_scaled)
+            if est_depth_scaled is not None
+            else gt_depth_np
+        )
+        row2 = np.concatenate(
+            [depth_to_rgb_np(gt_depth_np), depth_to_rgb_np(depth), depth_to_rgb_np(third)],
+            axis=2,
+        )
+        frame = np.concatenate([row1, row2], axis=1)  # [3, 2H, 3W]
+        frame = (np.clip(frame, 0, 1) * 255).astype(np.uint8).transpose(1, 2, 0)
+        self.video_writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))

@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""CLI entry: run SLAM from a YAML config (reference surface: slam_top.py).
+
+Usage: python slam_top.py --config configs/TUM.yml
+"""
+import argparse
+import random
+
+import numpy as np
+
+
+def seed_everything(seed: int = 0):
+    """Deterministic runs (reference slam_top.py:13-27). JAX randomness is
+    key-based and host RNGs drive keyframe scheduling, so seeding numpy +
+    python random reproduces a run exactly."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native MM3DGS-SLAM")
+    parser.add_argument("--config", type=str, required=True, help="Path to config file")
+    args = parser.parse_args()
+
+    seed_everything()
+    print("Running with config:", args.config)
+
+    from mm3dgs_slam_tpu.config import load_config
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
+    cfg = load_config(args.config)
+    SLAM(cfg).run()
+
+
+if __name__ == "__main__":
+    main()
