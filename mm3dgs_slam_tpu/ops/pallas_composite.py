@@ -1,0 +1,377 @@
+"""Pallas TPU kernel for the tile compositing hot loop.
+
+Replaces ops/composite.py's fixed-round scan with a real per-tile walk:
+
+  * grid = one program per 16x16 pixel tile,
+  * each program DMAs its (tile, depth)-sorted pair slab from HBM in
+    128-pair chunks and composites front-to-back,
+  * the trip count is the tile's true segment length (the XLA fallback must
+    pad every tile to max_per_tile), and the walk stops early once every
+    pixel's transmittance saturates — the two wins a static-shape XLA
+    program cannot express,
+  * within a chunk the sequential transmittance recursion is a Hillis-Steele
+    multiplicative scan along lanes; feature accumulation is a
+    [PIX, CHUNK] x [CHUNK, NC] MXU contraction,
+  * backward is analytic: the same walk replayed front-to-back with a prefix
+    accumulator (the standard 3DGS gradient rearranged to avoid a
+    back-to-front pass) emits per-pair gradients; the surrounding jnp
+    gather's autodiff turns those into per-Gaussian scatter-adds.
+
+Layout (dictated by Mosaic's lane-alignment rules): pair data is packed
+FIELD-MAJOR ``[16, PAIR_CAP + CHUNK]`` so a chunk DMA slices 128 aligned
+lanes; in-kernel arrays put the tile's 256 pixels on sublanes and the 128
+chunk pairs on lanes.
+
+Field rows: 0 xy_x, 1 xy_y, 2:5 conic, 5 opacity, 6:12 features
+(rgb + z/sil/z^2), 12:16 pad.
+
+Semantics match ops/composite.py exactly (alpha clamp straight-through,
+1/255 skip, hard T < 1e-4 stop with frozen transmittance); tests cross-check
+all three compositors (oracle / XLA tiles / pallas).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .camera import TILE, Camera
+
+CHUNK = 128         # pairs per inner step (lanes)
+PIX = TILE * TILE   # 256 pixels per tile (sublanes)
+NF = 16             # packed pair fields
+NC = 6              # composited channels
+
+
+def pack_pairs(proj_xy, proj_conic, proj_opacity, proj_feat, pair_gauss,
+               pair_valid):
+    """Gather per-pair data into pair order, field-major [16, CAP + CHUNK].
+
+    The gather is the differentiable boundary: its VJP scatter-adds the
+    kernel's per-pair gradients into per-Gaussian gradients. Invalid
+    (padding) pairs are zeroed; CHUNK extra zero columns let the kernel DMA
+    full chunks without clamping.
+    """
+    xy = proj_xy[pair_gauss]          # [P, 2]
+    conic = proj_conic[pair_gauss]    # [P, 3]
+    op = proj_opacity[pair_gauss][:, None]
+    feat = proj_feat[pair_gauss]      # [P, NC]
+    pad = jnp.zeros((xy.shape[0], NF - 2 - 3 - 1 - NC), xy.dtype)
+    data = jnp.concatenate([xy, conic, op, feat, pad], axis=1)  # [P, 16]
+    data = jnp.where(pair_valid[:, None], data, 0.0)
+    data = data.T  # [16, P]
+    return jnp.concatenate(
+        [data, jnp.zeros((NF, CHUNK), data.dtype)], axis=1
+    )
+
+
+def _scan_lanes(x, op, identity):
+    """Inclusive Hillis-Steele scan along lanes (axis 1)."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        rolled = pltpu.roll(x, shift=s, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = op(x, jnp.where(col >= s, rolled, identity))
+        s *= 2
+    return x
+
+
+def _chunk_forward(data, pixf_x, pixf_y, base_rank, count, T_run, done):
+    """Shared per-chunk forward math.
+
+    data: [NF, CHUNK] fields x pairs; pixf_*: [PIX, 1]; T_run/done: [PIX, 1].
+    Returns (w [PIX, CHUNK], T_new, done_new, alpha_raw, use, T_j, dx, dy).
+    """
+    xy_x = data[0:1, :]   # [1, CHUNK]
+    xy_y = data[1:2, :]
+    c0 = data[2:3, :]
+    c1 = data[3:4, :]
+    c2 = data[4:5, :]
+    op = data[5:6, :]
+    dx = xy_x - pixf_x    # [PIX, CHUNK]
+    dy = xy_y - pixf_y
+    power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
+    alpha_raw = op * jnp.exp(power)
+    alpha = jnp.minimum(alpha_raw, 0.99)
+    rank = base_rank + jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
+    contribute = (power <= 0.0) & (alpha >= 1.0 / 255.0) & (rank < count)
+    alpha = jnp.where(contribute, alpha, 0.0)
+
+    one_m = 1.0 - alpha
+    cp_incl = _scan_lanes(one_m, jax.lax.mul, 1.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
+    excl = jnp.where(col >= 1, pltpu.roll(cp_incl, shift=1, axis=1), 1.0)
+    T_j = T_run * excl
+    T_test = T_j * one_m
+    stop = ((alpha > 0.0) & (T_test < 1e-4)).astype(jnp.float32)
+    stopped_incl = _scan_lanes(stop, jnp.maximum, 0.0)
+    use = (alpha > 0.0) & (done < 1.0) & (stopped_incl < 1.0)
+    w = jnp.where(use, alpha * T_j, 0.0)
+
+    any_stop = stopped_incl[:, CHUNK - 1:CHUNK]
+    frozen_T = jnp.max(T_j * stop, axis=1, keepdims=True)  # T_j monotone dec.
+    T_cont = T_run * cp_incl[:, CHUNK - 1:CHUNK]
+    T_new = jnp.where(done >= 1.0, T_run,
+                      jnp.where(any_stop >= 1.0, frozen_T, T_cont))
+    done_new = jnp.maximum(done, any_stop)
+    return w, T_new, done_new, alpha_raw, use, T_j, dx, dy
+
+
+def _tile_pix(t, tiles_x):
+    ty = t // tiles_x
+    tx = t - ty * tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    pixf_x = (tx * TILE + lane % TILE).astype(jnp.float32)
+    pixf_y = (ty * TILE + lane // TILE).astype(jnp.float32)
+    return pixf_x, pixf_y
+
+
+def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
+                buf, sem, *, tiles_x: int):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    pixf_x, pixf_y = _tile_pix(t, tiles_x)
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    def cond(carry):
+        ci, T_run, done, acc = carry
+        return (ci < n_chunks) & (jnp.min(done) < 1.0)
+
+    def body(carry):
+        ci, T_run, done, acc = carry
+        off = start + ci * CHUNK
+        cp = pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sem
+        )
+        cp.start()
+        cp.wait()
+        data = buf[:, :]
+        w, T_new, done_new, _, _, _, _, _ = _chunk_forward(
+            data, pixf_x, pixf_y, ci * CHUNK, count, T_run, done
+        )
+        feat = data[6:6 + NC, :]  # [NC, CHUNK]
+        acc = acc + jax.lax.dot_general(
+            w, feat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [PIX, NC]
+        return ci + 1, T_new, done_new, acc
+
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    done0 = jnp.zeros((PIX, 1), jnp.float32)
+    acc0 = jnp.zeros((PIX, NC), jnp.float32)
+    _, T_fin, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    acc_ref[0, :, :] = acc
+    tfin_ref[0, :, :] = T_fin
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "interpret"))
+def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
+                          interpret: bool = False):
+    n_tiles = cam.n_tiles
+    kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[
+            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NF, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    acc, tfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, PIX, NC), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, PIX, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_count, pair_data)
+    return acc, tfin
+
+
+def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_hbm, dtfin_hbm,
+                acc_hbm, tfin_hbm, dpair_hbm, buf, dacc_buf, dtfin_buf,
+                acc_buf, tfin_buf, dpair_buf, sems, *, tiles_x: int):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    pixf_x, pixf_y = _tile_pix(t, tiles_x)
+
+    cps = [
+        pltpu.make_async_copy(dacc_hbm.at[t], dacc_buf, sems.at[0]),
+        pltpu.make_async_copy(dtfin_hbm.at[t], dtfin_buf, sems.at[1]),
+        pltpu.make_async_copy(acc_hbm.at[t], acc_buf, sems.at[2]),
+        pltpu.make_async_copy(tfin_hbm.at[t], tfin_buf, sems.at[3]),
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    dC = dacc_buf[:, :]          # [PIX, NC]
+    dT_fin = dtfin_buf[:, :]     # [PIX, 1]
+    C_tot = acc_buf[:, :]        # [PIX, NC]
+    T_fin = tfin_buf[:, :]       # [PIX, 1]
+    CdC = jnp.sum(C_tot * dC, axis=1, keepdims=True)  # [PIX, 1]
+
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    def body(ci, carry):
+        T_run, done, A_pref = carry
+        off = start + ci * CHUNK
+        cp = pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sems.at[4]
+        )
+        cp.start()
+        cp.wait()
+        data = buf[:, :]
+        w, T_new, done_new, alpha_raw, use, T_j, dx, dy = _chunk_forward(
+            data, pixf_x, pixf_y, ci * CHUNK, count, T_run, done
+        )
+        feat = data[6:6 + NC, :]  # [NC, CHUNK]
+        one_m = jnp.where(use, 1.0 - jnp.minimum(alpha_raw, 0.99), 1.0)
+
+        # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
+        dfeat = jax.lax.dot_general(
+            dC, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # (feat_j . dC_p) -> [PIX, CHUNK]
+        fdc = jax.lax.dot_general(
+            dC, feat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        r = w * fdc
+        r_incl = _scan_lanes(r, jax.lax.add, 0.0)
+        suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
+
+        inv_onem = 1.0 / one_m
+        dalpha = T_j * fdc - suffix * inv_onem - dT_fin * T_fin * inv_onem
+        dalpha = jnp.where(use, dalpha, 0.0)
+
+        op = data[5:6, :]
+        G = jnp.where(op > 0, alpha_raw / jnp.where(op > 0, op, 1.0), 0.0)
+        dop = jnp.sum(G * dalpha, axis=0, keepdims=True)   # [1, CHUNK]
+        dpower = alpha_raw * dalpha
+        c0 = data[2:3, :]
+        c1 = data[3:4, :]
+        c2 = data[4:5, :]
+        dxy_x = jnp.sum(-(c0 * dx + c1 * dy) * dpower, axis=0, keepdims=True)
+        dxy_y = jnp.sum(-(c2 * dy + c1 * dx) * dpower, axis=0, keepdims=True)
+        dc0 = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
+        dc1 = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
+        dc2 = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
+
+        zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
+        dpair_buf[:, :] = jnp.concatenate(
+            [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
+        )
+        cpo = pltpu.make_async_copy(
+            dpair_buf, dpair_hbm.at[:, pl.ds(off, CHUNK)], sems.at[5]
+        )
+        cpo.start()
+        cpo.wait()
+
+        A_new = A_pref + r_incl[:, CHUNK - 1:CHUNK]
+        return T_new, done_new, A_new
+
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    done0 = jnp.zeros((PIX, 1), jnp.float32)
+    A0 = jnp.zeros((PIX, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body, (T0, done0, A0))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "interpret"))
+def _composite_pallas_bwd(pair_data, tile_start, tile_count, acc, tfin,
+                          dacc, dtfin, cam: Camera, interpret: bool = False):
+    n_tiles = cam.n_tiles
+    padded_cap = pair_data.shape[1]
+    kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NF, CHUNK), jnp.float32),   # pair buf
+            pltpu.VMEM((PIX, NC), jnp.float32),     # dacc buf
+            pltpu.VMEM((PIX, 1), jnp.float32),      # dtfin buf
+            pltpu.VMEM((PIX, NC), jnp.float32),     # acc buf
+            pltpu.VMEM((PIX, 1), jnp.float32),      # tfin buf
+            pltpu.VMEM((NF, CHUNK), jnp.float32),   # dpair out buf
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    dpair = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NF, padded_cap), jnp.float32),
+        # grid programs overwrite each other's chunk overhang (then the owner
+        # rewrites it); keep the tile loop sequential so the final writer wins
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_start, tile_count, pair_data, dacc, dtfin, acc, tfin)
+    # columns never owned by a tile (padding + invalid pairs) hold garbage
+    n_valid = tile_start[-1] + tile_count[-1]
+    valid = jnp.arange(padded_cap) < n_valid
+    return jnp.where(valid[None, :], dpair, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def composite_pairs_pallas(pair_data, tile_start, tile_count, cam: Camera,
+                           interpret: bool = False):
+    """Differentiable pallas composite over packed pair data.
+
+    Returns (acc [n_tiles, PIX, NC], t_fin [n_tiles, PIX, 1]); background
+    and image assembly happen in jnp outside.
+    """
+    return _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+                                 interpret)
+
+
+def _cp_fwd(pair_data, tile_start, tile_count, cam, interpret):
+    acc, tfin = _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+                                      interpret)
+    return (acc, tfin), (pair_data, tile_start, tile_count, acc, tfin)
+
+
+def _cp_bwd(cam, interpret, res, cts):
+    pair_data, tile_start, tile_count, acc, tfin = res
+    dacc, dtfin = cts
+    dpair = _composite_pallas_bwd(
+        pair_data, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
+        interpret,
+    )
+    return dpair, None, None
+
+
+composite_pairs_pallas.defvjp(_cp_fwd, _cp_bwd)
+
+
+def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
+                           interpret: bool = False):
+    """Drop-in replacement for ops.composite.composite_tiles (pallas path)."""
+    pair_data = pack_pairs(proj.xy, proj.conic, proj.opacity, proj.feat,
+                           bins.pair_gauss, bins.pair_valid)
+    acc, tfin = composite_pairs_pallas(
+        pair_data, bins.tile_start, bins.tile_count, cam, interpret
+    )
+    out = acc + tfin * bg[None, None, :]  # [T, PIX, NC]
+    tiles_y, tiles_x = cam.tiles_y, cam.tiles_x
+    img = out.reshape(tiles_y, tiles_x, TILE, TILE, NC)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(NC, tiles_y * TILE, tiles_x * TILE)
+    return img[:, : cam.height, : cam.width]

@@ -1,0 +1,64 @@
+"""Pallas composite (interpret mode on CPU) vs the XLA compositor + oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm3dgs_slam_tpu.ops.binning import build_bins
+from mm3dgs_slam_tpu.ops.composite import composite_tiles
+from mm3dgs_slam_tpu.ops.pallas_composite import composite_tiles_pallas
+from mm3dgs_slam_tpu.ops.render import RenderSettings, background, project_for_pose
+
+from utils import allclose_report, random_scene, small_camera
+
+IDENTITY_POSE = jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype=jnp.float32)
+
+
+def _setup(seed=0, n=300, n_dead=30):
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(seed), n, cam, n_dead=n_dead)
+    rs = RenderSettings(cam=cam, pair_cap=1 << 15, max_per_tile=512, chunk=16,
+                        max_tiles_per_gaussian=256)
+    proj = project_for_pose(g, IDENTITY_POSE, rs)
+    bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+    return cam, g, rs, proj, bins
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_forward_matches_xla(seed):
+    cam, g, rs, proj, bins = _setup(seed)
+    bg = background(rs)
+    img_xla = composite_tiles(proj, bins, cam, bg, rs.max_per_tile, rs.chunk)
+    img_pl = composite_tiles_pallas(proj, bins, cam, bg, interpret=True)
+    assert allclose_report(img_pl, img_xla, atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_forward_white_bg():
+    cam, g, rs, proj, bins = _setup(2)
+    rs = rs._replace(white_background=True)
+    bg = background(rs)
+    img_xla = composite_tiles(proj, bins, cam, bg, rs.max_per_tile, rs.chunk)
+    img_pl = composite_tiles_pallas(proj, bins, cam, bg, interpret=True)
+    assert allclose_report(img_pl, img_xla, atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_backward_matches_xla():
+    cam, g, rs, proj, bins = _setup(3, n=150, n_dead=10)
+    bg = background(rs)
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (6, cam.height, cam.width))
+
+    def loss_xla(xy, conic, opacity, feat):
+        p = proj._replace(xy=xy, conic=conic, opacity=opacity, feat=feat)
+        img = composite_tiles(p, bins, cam, bg, rs.max_per_tile, rs.chunk)
+        return jnp.mean((img - gt) ** 2)
+
+    def loss_pl(xy, conic, opacity, feat):
+        p = proj._replace(xy=xy, conic=conic, opacity=opacity, feat=feat)
+        img = composite_tiles_pallas(p, bins, cam, bg, interpret=True)
+        return jnp.mean((img - gt) ** 2)
+
+    args = (proj.xy, proj.conic, proj.opacity, proj.feat)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(*args)
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(gp, gx, ["xy", "conic", "op", "feat"]):
+        assert allclose_report(a, b, atol=1e-5, rtol=5e-3), name
