@@ -303,3 +303,31 @@ def to_numpy_dict(m: GaussianMap) -> dict:
     """Alive rows as numpy (host-side; for PLY export etc.)."""
     n = int(m.n_alive)
     return {f: np.asarray(getattr(m, f))[:n] for f in _PARAM_FIELDS}
+
+
+def capture(m: GaussianMap, state: AdamState, path: str) -> None:
+    """Full training-state snapshot incl. optimizer moments — the pytree
+    version of GaussianModel.capture (gaussian_model.py:72-86)."""
+    blob = {f"m_{f}": np.asarray(getattr(m, f)) for f in _PARAM_FIELDS}
+    blob.update({f"mu_{f}": np.asarray(getattr(state.mu, f)) for f in _PARAM_FIELDS})
+    blob.update({f"nu_{f}": np.asarray(getattr(state.nu, f)) for f in _PARAM_FIELDS})
+    blob["n_alive"] = np.asarray(m.n_alive)
+    blob["step"] = np.asarray(state.step)
+    np.savez(path, **blob)
+
+
+def restore(path: str) -> tuple[GaussianMap, AdamState]:
+    """Inverse of capture (gaussian_model.py:88-106)."""
+    blob = np.load(path)
+    n_alive = jnp.asarray(blob["n_alive"], jnp.int32)
+    m = GaussianMap(
+        **{f: jnp.asarray(blob[f"m_{f}"]) for f in _PARAM_FIELDS},
+        n_alive=n_alive,
+    )
+    mu = GaussianMap(
+        **{f: jnp.asarray(blob[f"mu_{f}"]) for f in _PARAM_FIELDS}, n_alive=n_alive
+    )
+    nu = GaussianMap(
+        **{f: jnp.asarray(blob[f"nu_{f}"]) for f in _PARAM_FIELDS}, n_alive=n_alive
+    )
+    return m, AdamState(mu=mu, nu=nu, step=jnp.asarray(blob["step"], jnp.int32))

@@ -45,12 +45,16 @@ def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
     return x0, x1, y0, y1
 
 
-@partial(jax.jit, static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian"))
+@partial(
+    jax.jit,
+    static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align"),
+)
 def build_bins(
     proj: ProjectedGaussians,
     cam: Camera,
     pair_cap: int,
     max_tiles_per_gaussian: int = 64,
+    align: int = 0,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
@@ -62,6 +66,9 @@ def build_bins(
       max_tiles_per_gaussian: static cap on tiles one Gaussian may cover
         (row-major truncation beyond that; generous default — pruning keeps
         screen extents bounded in the SLAM setting).
+      align: if > 0, re-layout segments so every tile_start is a multiple of
+        `align` (the Pallas kernel's DMA alignment requirement); the buffer
+        grows by n_tiles * align slots of padding.
     """
     xy = jax.lax.stop_gradient(proj.xy)
     depth = jax.lax.stop_gradient(proj.depth)
@@ -69,6 +76,13 @@ def build_bins(
     tiles_x, tiles_y = cam.tiles_x, cam.tiles_y
     n_tiles = tiles_x * tiles_y
     N = xy.shape[0]
+
+    # Depth-sort the GAUSSIANS first (N keys — 10-20x smaller than the pair
+    # sort): pairs are then emitted in depth order, so one STABLE sort by
+    # tile id alone yields (tile, depth)-ordered segments.
+    order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
+    xy = xy[order]
+    radius = radius[order]
 
     x0, x1, y0, y1 = gaussian_tile_rect(xy, radius, tiles_x, tiles_y)
     rect_w = jnp.maximum(x1 - x0, 0)
@@ -79,38 +93,27 @@ def build_bins(
     offsets = jnp.cumsum(count) - count  # exclusive prefix sum
     n_pairs = offsets[-1] + count[-1]
 
-    # Sort keys: primary = tile id, secondary = depth. Invalid slots sort last.
     pair_tile = jnp.full((pair_cap,), n_tiles, dtype=jnp.int32)
-    pair_depth = jnp.full((pair_cap,), jnp.inf, dtype=jnp.float32)
     pair_gauss = jnp.zeros((pair_cap,), dtype=jnp.int32)
 
-    gauss_ids = jnp.arange(N, dtype=jnp.int32)
-
     def emit(d, bufs):
-        pair_tile, pair_depth, pair_gauss = bufs
+        pair_tile, pair_gauss = bufs
         emit_ok = d < count
         dy = d // jnp.maximum(rect_w, 1)
         dx = d - dy * jnp.maximum(rect_w, 1)
         tile = (y0 + dy) * tiles_x + (x0 + dx)
-        target = offsets + d
-        ok = emit_ok & (target < pair_cap)
-        # Dump dropped writes at a scratch slot (pair_cap - 1 stays consistent
-        # because invalid entries are overwritten only by valid ones below it
-        # after sorting; we instead route drops to index pair_cap which
-        # scatter-mode "drop" ignores).
-        target = jnp.where(ok, target, pair_cap)
-        pair_tile = pair_tile.at[target].set(jnp.where(ok, tile, 0), mode="drop")
-        pair_depth = pair_depth.at[target].set(jnp.where(ok, depth, 0.0), mode="drop")
-        pair_gauss = pair_gauss.at[target].set(gauss_ids, mode="drop")
-        return pair_tile, pair_depth, pair_gauss
+        target = jnp.where(emit_ok, offsets + d, pair_cap)  # OOB writes drop
+        pair_tile = pair_tile.at[target].set(jnp.where(emit_ok, tile, 0), mode="drop")
+        pair_gauss = pair_gauss.at[target].set(order, mode="drop")
+        return pair_tile, pair_gauss
 
-    pair_tile, pair_depth, pair_gauss = jax.lax.fori_loop(
-        0, max_tiles_per_gaussian, emit, (pair_tile, pair_depth, pair_gauss)
+    pair_tile, pair_gauss = jax.lax.fori_loop(
+        0, max_tiles_per_gaussian, emit, (pair_tile, pair_gauss)
     )
 
-    # Lexicographic sort by (tile, depth); gaussian ids ride along.
-    pair_tile, pair_depth, pair_gauss = jax.lax.sort(
-        (pair_tile, pair_depth, pair_gauss), num_keys=2
+    # Stable sort by tile id; buffer order is already depth order.
+    pair_tile, pair_gauss = jax.lax.sort(
+        (pair_tile, pair_gauss), num_keys=1, is_stable=True
     )
 
     pair_valid = pair_tile < n_tiles
@@ -118,6 +121,21 @@ def build_bins(
     tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
+
+    if align:
+        # Scatter pairs into a chunk-aligned layout: tile t's segment starts
+        # at cumsum of aligned predecessor sizes; padding slots are invalid.
+        aligned_sizes = ((tile_count + align - 1) // align) * align
+        aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
+        buf_cap = pair_cap + n_tiles * align
+        tile_of_pair = jnp.clip(pair_tile, 0, n_tiles - 1)
+        rank = jnp.arange(pair_cap, dtype=jnp.int32) - tile_start[tile_of_pair]
+        target = jnp.where(
+            pair_valid, aligned_start[tile_of_pair] + rank, buf_cap
+        )
+        pg = jnp.zeros((buf_cap,), jnp.int32).at[target].set(pair_gauss, mode="drop")
+        pv = jnp.zeros((buf_cap,), bool).at[target].set(pair_valid, mode="drop")
+        pair_gauss, pair_valid, tile_start = pg, pv, aligned_start
 
     return TileBins(
         pair_gauss=pair_gauss,

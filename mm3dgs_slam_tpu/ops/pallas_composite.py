@@ -144,7 +144,7 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
 
     def body(carry):
         ci, T_run, done, acc = carry
-        off = start + ci * CHUNK
+        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
         cp = pltpu.make_async_copy(
             pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sem
         )
@@ -201,38 +201,27 @@ def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
     return acc, tfin
 
 
-def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_hbm, dtfin_hbm,
-                acc_hbm, tfin_hbm, dpair_hbm, buf, dacc_buf, dtfin_buf,
-                acc_buf, tfin_buf, dpair_buf, sems, *, tiles_x: int):
+def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
+                acc_ref, tfin_ref, dpair_hbm, buf, dpair_buf, sems,
+                *, tiles_x: int):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     pixf_x, pixf_y = _tile_pix(t, tiles_x)
 
-    cps = [
-        pltpu.make_async_copy(dacc_hbm.at[t], dacc_buf, sems.at[0]),
-        pltpu.make_async_copy(dtfin_hbm.at[t], dtfin_buf, sems.at[1]),
-        pltpu.make_async_copy(acc_hbm.at[t], acc_buf, sems.at[2]),
-        pltpu.make_async_copy(tfin_hbm.at[t], tfin_buf, sems.at[3]),
-    ]
-    for c in cps:
-        c.start()
-    for c in cps:
-        c.wait()
-
-    dC = dacc_buf[:, :]          # [PIX, NC]
-    dT_fin = dtfin_buf[:, :]     # [PIX, 1]
-    C_tot = acc_buf[:, :]        # [PIX, NC]
-    T_fin = tfin_buf[:, :]       # [PIX, 1]
+    dC = dacc_ref[0]          # [PIX, NC]  (VMEM-blocked input)
+    dT_fin = dtfin_ref[0]     # [PIX, 1]
+    C_tot = acc_ref[0]        # [PIX, NC]
+    T_fin = tfin_ref[0]       # [PIX, 1]
     CdC = jnp.sum(C_tot * dC, axis=1, keepdims=True)  # [PIX, 1]
 
     n_chunks = pl.cdiv(count, CHUNK)
 
     def body(ci, carry):
         T_run, done, A_pref = carry
-        off = start + ci * CHUNK
+        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
         cp = pltpu.make_async_copy(
-            pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sems.at[4]
+            pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sems.at[0]
         )
         cp.start()
         cp.wait()
@@ -279,7 +268,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_hbm, dtfin_hbm,
             [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
         )
         cpo = pltpu.make_async_copy(
-            dpair_buf, dpair_hbm.at[:, pl.ds(off, CHUNK)], sems.at[5]
+            dpair_buf, dpair_hbm.at[:, pl.ds(off, CHUNK)], sems.at[1]
         )
         cpo.start()
         cpo.wait()
@@ -302,16 +291,22 @@ def _composite_pallas_bwd(pair_data, tile_start, tile_count, acc, tfin,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 5,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair data
+            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # dacc
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # dtfin
+            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # acc
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # tfin
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((NF, CHUNK), jnp.float32),   # pair buf
-            pltpu.VMEM((PIX, NC), jnp.float32),     # dacc buf
-            pltpu.VMEM((PIX, 1), jnp.float32),      # dtfin buf
-            pltpu.VMEM((PIX, NC), jnp.float32),     # acc buf
-            pltpu.VMEM((PIX, 1), jnp.float32),      # tfin buf
             pltpu.VMEM((NF, CHUNK), jnp.float32),   # dpair out buf
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dpair = pl.pallas_call(

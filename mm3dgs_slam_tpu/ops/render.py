@@ -45,6 +45,7 @@ class RenderSettings(NamedTuple):
     chunk: int = 32
     max_tiles_per_gaussian: int = 64
     use_oracle: bool = False  # exact dense compositor (tests / tiny scenes)
+    use_pallas: bool = False  # pallas kernel compositor (TPU fast path)
 
 
 class ActivatedGaussians(NamedTuple):
@@ -115,6 +116,16 @@ def render(
 
     if rs.use_oracle:
         img6 = composite_oracle(proj, rs.cam, bg)
+        bins_used = bins
+    elif rs.use_pallas:
+        from .pallas_composite import CHUNK as PL_CHUNK, composite_tiles_pallas
+
+        if bins is None:
+            bins = build_bins(
+                proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                align=PL_CHUNK,
+            )
+        img6 = composite_tiles_pallas(proj, bins, rs.cam, bg)
         bins_used = bins
     else:
         if bins is None:

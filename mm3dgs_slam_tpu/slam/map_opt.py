@@ -93,8 +93,16 @@ def _map_loss(
     g = m.activated()
     proj = project_for_pose(g, pose, rs)
     proj = proj._replace(xy=proj.xy + screen_offset)
-    bins = build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
-    img6 = composite_tiles(proj, bins, rs.cam, background(rs), rs.max_per_tile, rs.chunk)
+    if rs.use_pallas:
+        from ..ops.pallas_composite import CHUNK as _PL_CHUNK, composite_tiles_pallas
+
+        bins = build_bins(proj, rs.cam, rs.pair_cap,
+                          rs.max_tiles_per_gaussian, align=_PL_CHUNK)
+        img6 = composite_tiles_pallas(proj, bins, rs.cam, background(rs))
+    else:
+        bins = build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+        img6 = composite_tiles(proj, bins, rs.cam, background(rs),
+                               rs.max_per_tile, rs.chunk)
     image = img6[:3]
     depth = img6[3]
 

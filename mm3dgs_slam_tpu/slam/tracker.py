@@ -46,6 +46,10 @@ class TrackSettings(NamedTuple):
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8               # torch.optim.Adam default
+    rebin_every: int = 1            # tile-binning refresh cadence; the pose
+                                    # moves sub-pixel per Adam step so stale
+                                    # bins only affect the (non-diff) pair
+                                    # selection, not gradients
 
 
 def tracking_loss(
@@ -56,8 +60,9 @@ def tracking_loss(
     est_depth: jnp.ndarray,
     initial_pose: jnp.ndarray,
     ts: TrackSettings,
+    bins=None,
 ) -> jnp.ndarray:
-    out = render(g, pose, ts.rs)
+    out = render(g, pose, ts.rs, bins=bins)
     image = out["render"]
     depth = out["depth"][0]
     silhouette = out["depth"][1]
@@ -101,19 +106,41 @@ def track_frame(
     """Optimize the pose for `ts.iters` Adam steps. Returns (pose, last_loss).
 
     The map `g` is frozen (gradients flow only to the pose)."""
-    initial_pose = jax.lax.stop_gradient(pose_init)
+    from ..ops.binning import build_bins
+    from ..ops.render import project_for_pose
 
-    def loss_fn(q, T):
+    initial_pose = jax.lax.stop_gradient(pose_init)
+    rs = ts.rs
+    align = 0
+    if rs.use_pallas:
+        from ..ops.pallas_composite import CHUNK as _PL_CHUNK
+
+        align = _PL_CHUNK
+
+    def make_bins(pose):
+        proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
+        return build_bins(proj, rs.cam, rs.pair_cap,
+                          rs.max_tiles_per_gaussian, align=align)
+
+    def loss_fn(q, T, bins):
         pose = jnp.concatenate([q, T])
         return tracking_loss(
-            g, pose, gt_color, gt_depth, est_depth, initial_pose, ts
+            g, pose, gt_color, gt_depth, est_depth, initial_pose, ts, bins
         )
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
     def body(i, carry):
-        q, T, mq, vq, mT, vT, _ = carry
-        loss, (gq, gT) = grad_fn(q, T)
+        q, T, mq, vq, mT, vT, bins, _ = carry
+        if ts.rebin_every > 1:
+            bins = jax.lax.cond(
+                jnp.mod(i, ts.rebin_every) == 0,
+                lambda: make_bins(jnp.concatenate([q, T])),
+                lambda: bins,
+            )
+        else:
+            bins = make_bins(jnp.concatenate([q, T]))
+        loss, (gq, gT) = grad_fn(q, T, bins)
         step = (i + 1).astype(jnp.float32)
         bc1 = 1.0 - ts.b1**step
         bc2 = 1.0 - ts.b2**step
@@ -125,13 +152,15 @@ def track_frame(
         mT = ts.b1 * mT + (1 - ts.b1) * gT
         vT = ts.b2 * vT + (1 - ts.b2) * gT * gT
         T = T - ts.position_lr * (mT / bc1) / (jnp.sqrt(vT) / jnp.sqrt(bc2) + ts.eps)
-        return (q, T, mq, vq, mT, vT, loss)
+        return (q, T, mq, vq, mT, vT, bins, loss)
 
     q0 = pose_init[:4]
     T0 = pose_init[4:]
     z4 = jnp.zeros_like(q0)
     z3 = jnp.zeros_like(T0)
+    bins0 = make_bins(pose_init)
     q, T, *_, loss = jax.lax.fori_loop(
-        0, ts.iters, body, (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
+        0, ts.iters, body,
+        (q0, T0, z4, z4, z3, z3, bins0, jnp.asarray(0.0, jnp.float32)),
     )
     return jnp.concatenate([q, T]), loss

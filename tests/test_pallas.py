@@ -15,12 +15,17 @@ IDENTITY_POSE = jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype=jnp.float32)
 
 
 def _setup(seed=0, n=300, n_dead=30):
+    from mm3dgs_slam_tpu.ops.pallas_composite import CHUNK
+
     cam = small_camera()
     g = random_scene(jax.random.PRNGKey(seed), n, cam, n_dead=n_dead)
     rs = RenderSettings(cam=cam, pair_cap=1 << 15, max_per_tile=512, chunk=16,
                         max_tiles_per_gaussian=256)
     proj = project_for_pose(g, IDENTITY_POSE, rs)
-    bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+    # chunk-aligned segments: what the TPU kernel requires; the XLA
+    # compositor consumes the same layout, so outputs stay comparable
+    bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                      align=CHUNK)
     return cam, g, rs, proj, bins
 
 
