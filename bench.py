@@ -3,11 +3,16 @@
 
 Measures the reference's iteration budget (100 tracking + 150 mapping Adam
 iterations per frame, configs/TUM.yml:32,44) at TUM resolution (640x480) on
-a realistic map size, end to end (render + loss + backward + optimizer),
-and reports frames/second. vs_baseline is against the BASELINE.json
-north-star of 30 FPS real-time tracking+mapping on one v5e chip.
+a realistic pixel-scale map, end to end (render + loss + backward +
+optimizer), with the production settings (Pallas compositor, binning reuse).
+vs_baseline is against the BASELINE.json north-star of 30 FPS real-time
+tracking+mapping on one v5e chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing notes: inputs VARY between repetitions and results are fetched to
+host — the remote-execution layer dedupes identical dispatches, so naive
+same-args timing loops report fantasy numbers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 import json
 import time
@@ -25,39 +30,41 @@ def main():
 
     from __graft_entry__ import _build_scene
     from mm3dgs_slam_tpu.models import gaussians as G
-    from mm3dgs_slam_tpu.ops.camera import Camera
     from mm3dgs_slam_tpu.ops.render import RenderSettings, render
     from mm3dgs_slam_tpu.slam.map_opt import MapCarry, MapOptSettings, optimize_map
     from mm3dgs_slam_tpu.slam.tracker import TrackSettings, track_frame
 
-    m, _ = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
-    cam = Camera(height=H, width=W, fx=517.3, fy=516.5, cx=318.6, cy=255.3)
-    # rebuild scene against the TUM camera
+    on_tpu = jax.default_backend() == "tpu"
     m, cam = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
     adam = G.init_adam(m)
-    rs = RenderSettings(cam=cam, pair_cap=1 << 21, max_per_tile=1024, chunk=32,
-                        max_tiles_per_gaussian=64)
+    rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
+                        max_tiles_per_gaussian=64, use_pallas=on_tpu)
 
-    pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
-    out = render(m.activated(), pose, rs)
+    base_pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    out = render(m.activated(), base_pose, rs)
     gt_color = jnp.clip(out["render"], 0, 1)
     gt_depth = out["depth"][0] / jnp.maximum(out["depth"][1], 1e-6)
     jax.block_until_ready(gt_color)
 
-    # --- tracking ------------------------------------------------------
-    ts = TrackSettings(rs=rs, iters=TRACK_ITERS, method="vigs",
-                       use_gt_depth=True, position_lr=0.001, rotation_lr=0.003)
-    jitter = pose.at[4].add(0.01)
-    p, _ = track_frame(m.activated(), jitter, gt_color, gt_depth,
-                       jnp.zeros_like(gt_depth), ts)
-    jax.block_until_ready(p)  # compile
-    t0 = time.perf_counter()
-    p, _ = track_frame(m.activated(), jitter, gt_color, gt_depth,
-                       jnp.zeros_like(gt_depth), ts)
-    jax.block_until_ready(p)
-    track_s = time.perf_counter() - t0
+    def jitters(n):
+        return [base_pose.at[4].add(1e-3 * (i + 1)) for i in range(n)]
 
-    # --- mapping -------------------------------------------------------
+    # --- tracking (100 iters inside one jitted fori_loop) ---------------
+    ts = TrackSettings(rs=rs, iters=TRACK_ITERS, method="vigs",
+                       use_gt_depth=True, position_lr=0.001, rotation_lr=0.003,
+                       rebin_every=10)
+    g_act = m.activated()
+    zeros_d = jnp.zeros_like(gt_depth)
+    p, _ = track_frame(g_act, jitters(1)[0], gt_color, gt_depth, zeros_d, ts)
+    jax.block_until_ready(p)  # compile
+    REPS = 3
+    t0 = time.perf_counter()
+    for j in jitters(REPS):
+        p, l = track_frame(g_act, j, gt_color, gt_depth, zeros_d, ts)
+        float(l)  # host fetch forces completion
+    track_s = (time.perf_counter() - t0) / REPS
+
+    # --- mapping (150 iters inside one jitted fori_loop) ----------------
     hyper = G.MapOptHyper(lr_xyz=1e-4, lr_features_dc=2.5e-3,
                           lr_features_rest=1.25e-4, lr_scaling=1e-3,
                           lr_rotation=1e-3, lr_opacity=5e-2, lr_rgb=2.5e-3)
@@ -67,30 +74,33 @@ def main():
     kf_colors = jnp.tile(gt_color[None], (K, 1, 1, 1))
     kf_depths = jnp.tile(gt_depth[None], (K, 1, 1))
     kf_ests = jnp.zeros_like(kf_depths)
-    kf_poses = jnp.tile(pose[None], (K, 1))
-    schedule = jnp.arange(MAP_ITERS, dtype=jnp.int32) % K
     cap = m.capacity
 
-    def carry():
+    def carry(seed):
+        poses = jnp.tile(base_pose[None], (K, 1)).at[:, 4].add(1e-4 * seed)
         return MapCarry(
             m=m, adam=adam,
             max_radii=jnp.zeros((cap,), jnp.float32),
             grad_accum=jnp.zeros((cap,), jnp.float32),
             denom=jnp.zeros((cap,), jnp.float32),
             ba_mask=jnp.ones((cap,), bool),
-            kf_poses=kf_poses, pose_m=jnp.zeros_like(kf_poses),
-            pose_v=jnp.zeros_like(kf_poses),
+            kf_poses=poses, pose_m=jnp.zeros((K, 7)),
+            pose_v=jnp.zeros((K, 7)),
             pose_step=jnp.asarray(0, jnp.int32),
             last_loss=jnp.asarray(0.0, jnp.float32),
         )
 
+    schedule = jnp.arange(MAP_ITERS, dtype=jnp.int32) % K
     extent = jnp.asarray(10.0, jnp.float32)
-    out1 = optimize_map(carry(), kf_colors, kf_depths, kf_ests, schedule, extent, ms)
-    jax.block_until_ready(out1.last_loss)  # compile
+    outc = optimize_map(carry(0), kf_colors, kf_depths, kf_ests, schedule,
+                        extent, ms)
+    jax.block_until_ready(outc.last_loss)  # compile
     t0 = time.perf_counter()
-    out2 = optimize_map(carry(), kf_colors, kf_depths, kf_ests, schedule, extent, ms)
-    jax.block_until_ready(out2.last_loss)
-    map_s = time.perf_counter() - t0
+    for i in range(REPS):
+        outc = optimize_map(carry(i + 1), kf_colors, kf_depths, kf_ests,
+                            schedule, extent, ms)
+        float(outc.last_loss)
+    map_s = (time.perf_counter() - t0) / REPS
 
     frame_s = track_s + map_s
     fps = 1.0 / frame_s
@@ -105,6 +115,8 @@ def main():
                     "track_ms_per_iter": round(track_s / TRACK_ITERS * 1e3, 3),
                     "map_ms_per_iter": round(map_s / MAP_ITERS * 1e3, 3),
                     "n_gaussians": N_GAUSSIANS,
+                    "backend": jax.default_backend(),
+                    "pallas": on_tpu,
                 },
             }
         )

@@ -96,19 +96,31 @@ def build_bins(
     pair_tile = jnp.full((pair_cap,), n_tiles, dtype=jnp.int32)
     pair_gauss = jnp.zeros((pair_cap,), dtype=jnp.int32)
 
-    def emit(d, bufs):
+    # Emit in blocks of EMIT_BLOCK rect cells per Gaussian: one big scatter
+    # per block instead of max_tiles_per_gaussian tiny dependent ones.
+    EMIT_BLOCK = 8
+    rect_w_safe = jnp.maximum(rect_w, 1)
+
+    def emit(b, bufs):
         pair_tile, pair_gauss = bufs
-        emit_ok = d < count
-        dy = d // jnp.maximum(rect_w, 1)
-        dx = d - dy * jnp.maximum(rect_w, 1)
-        tile = (y0 + dy) * tiles_x + (x0 + dx)
-        target = jnp.where(emit_ok, offsets + d, pair_cap)  # OOB writes drop
-        pair_tile = pair_tile.at[target].set(jnp.where(emit_ok, tile, 0), mode="drop")
-        pair_gauss = pair_gauss.at[target].set(order, mode="drop")
+        d = b * EMIT_BLOCK + jnp.arange(EMIT_BLOCK, dtype=jnp.int32)[None, :]
+        emit_ok = d < count[:, None]
+        dy = d // rect_w_safe[:, None]
+        dx = d - dy * rect_w_safe[:, None]
+        tile = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
+        target = jnp.where(emit_ok, offsets[:, None] + d, pair_cap)
+        gid = jnp.broadcast_to(order[:, None], target.shape)
+        pair_tile = pair_tile.at[target.reshape(-1)].set(
+            jnp.where(emit_ok, tile, 0).reshape(-1), mode="drop"
+        )
+        pair_gauss = pair_gauss.at[target.reshape(-1)].set(
+            gid.reshape(-1), mode="drop"
+        )
         return pair_tile, pair_gauss
 
     pair_tile, pair_gauss = jax.lax.fori_loop(
-        0, max_tiles_per_gaussian, emit, (pair_tile, pair_gauss)
+        0, (max_tiles_per_gaussian + EMIT_BLOCK - 1) // EMIT_BLOCK,
+        emit, (pair_tile, pair_gauss),
     )
 
     # Stable sort by tile id; buffer order is already depth order.

@@ -132,11 +132,22 @@ def _tile_pix(t, tiles_x):
 
 def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
                 buf, sem, *, tiles_x: int):
+    """Double-buffered walk: chunk ci+1's DMA is in flight while ci computes."""
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     pixf_x, pixf_y = _tile_pix(t, tiles_x)
     n_chunks = pl.cdiv(count, CHUNK)
+
+    def dma(ci, slot):
+        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
 
     def cond(carry):
         ci, T_run, done, acc = carry
@@ -144,13 +155,14 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
 
     def body(carry):
         ci, T_run, done, acc = carry
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
-        cp = pltpu.make_async_copy(
-            pair_hbm.at[:, pl.ds(off, CHUNK)], buf, sem
-        )
-        cp.start()
-        cp.wait()
-        data = buf[:, :]
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, 1 - slot).start()
+
+        dma(ci, slot).wait()
+        data = buf[slot]
         w, T_new, done_new, _, _, _, _, _ = _chunk_forward(
             data, pixf_x, pixf_y, ci * CHUNK, count, T_run, done
         )
@@ -164,7 +176,12 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
     T0 = jnp.ones((PIX, 1), jnp.float32)
     done0 = jnp.zeros((PIX, 1), jnp.float32)
     acc0 = jnp.zeros((PIX, NC), jnp.float32)
-    _, T_fin, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    ci_fin, T_fin, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    # drain the prefetched-but-unconsumed DMA after an early exit
+    @pl.when((ci_fin < n_chunks) & (ci_fin > 0))
+    def _():
+        dma(ci_fin, jax.lax.rem(ci_fin, 2)).wait()
+
     acc_ref[0, :, :] = acc
     tfin_ref[0, :, :] = T_fin
 
@@ -185,8 +202,8 @@ def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NF, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NF, CHUNK), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc, tfin = pl.pallas_call(

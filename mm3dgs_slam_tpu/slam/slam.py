@@ -84,6 +84,11 @@ class SLAM:
             cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"],
         )
         tpu = cfg["tpu"]
+        use_pallas = tpu.get("use_pallas", "auto")
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        else:
+            use_pallas = use_pallas in (True, "always", "true")
         self.rs = RenderSettings(
             cam=cam,
             sh_degree=cfg["mapping"]["sh_degree"],
@@ -94,6 +99,7 @@ class SLAM:
             max_per_tile=int(tpu["max_per_tile"]),
             chunk=int(tpu["chunk"]),
             max_tiles_per_gaussian=int(tpu["max_tiles_per_gaussian"]),
+            use_pallas=bool(use_pallas),
         )
 
         # Map state
@@ -121,6 +127,7 @@ class SLAM:
             imu_q_weight=float(tr.get("imu_q_weight", 0.0)),
             position_lr=float(tr["position_lr"]),
             rotation_lr=float(tr["rotation_lr"]),
+            rebin_every=int(tpu.get("rebin_every", 1)),
         )
         self.dyn_model = (tr["dynamics_model"] or "").lower() or None
 
