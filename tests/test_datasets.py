@@ -1,0 +1,92 @@
+"""Dataset-layer tests: a generated on-disk TUM-format sequence round-trips
+through the loader (association, resize, depth scaling, relative poses)."""
+import os
+
+import numpy as np
+import pytest
+
+import imageio.v2 as imageio
+
+from mm3dgs_slam_tpu.data import get_dataset_type
+
+
+def write_tum_dataset(root, n=6, h=48, w=64, depth_scale=5000.0):
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    rgb_lines, depth_lines, gt_lines = [], ["# depth"], ["# gt"]
+    for i in range(n):
+        t = 100.0 + i * 0.1
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        depth = (rng.uniform(0.5, 3.0, size=(h, w)) * depth_scale).astype(np.uint16)
+        imageio.imwrite(os.path.join(root, "rgb", f"{t:.6f}.png"), img)
+        imageio.imwrite(os.path.join(root, "depth", f"{t:.6f}.png"), depth)
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t + 0.005:.6f} depth/{t:.6f}.png")
+        gt_lines.append(
+            f"{t + 0.002:.6f} {0.1 * i:.6f} 0.0 0.0 0.0 0.0 0.0 1.0"
+        )
+    with open(os.path.join(root, "rgb.txt"), "w") as f:
+        f.write("\n".join(rgb_lines))
+    with open(os.path.join(root, "depth.txt"), "w") as f:
+        f.write("\n".join(depth_lines))
+    with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(gt_lines))
+
+
+def tum_cfg(h=48, w=64):
+    return {
+        "dataset": "tum",
+        "cam": {
+            "image_height": h, "image_width": w,
+            "fx": 50.0, "fy": 50.0, "cx": w / 2, "cy": h / 2,
+            "png_depth_scale": 5000.0, "crop_edge": 0,
+        },
+    }
+
+
+def test_tum_loader_roundtrip(tmp_path):
+    root = str(tmp_path)
+    write_tum_dataset(os.path.join(root, "seq"))
+    ds = get_dataset_type("tum")(
+        config_dict=tum_cfg(), basedir=root, sequence="seq",
+        stride=1, start=0, end=-1, desired_height=24, desired_width=32,
+        relative_pose=True,
+    )
+    assert len(ds) == 6
+    color, depth, intrinsics, pose, imu = ds[0]
+    assert color.shape == (24, 32, 3)
+    assert color.max() > 1.0  # 0-255 range
+    assert depth.shape == (24, 32, 1)
+    assert 0.4 < depth.mean() < 3.1  # meters
+    # intrinsics rescaled by 0.5
+    assert np.isclose(intrinsics[0, 0], 25.0)
+    # relative poses: frame 0 is identity
+    assert np.allclose(pose, np.eye(4), atol=1e-6)
+    # frame 3 translated by 0.3 along x
+    _, _, _, pose3, _ = ds[3]
+    assert np.isclose(pose3[0, 3], 0.3, atol=1e-6)
+
+
+def test_tum_loader_stride_and_start(tmp_path):
+    root = str(tmp_path)
+    write_tum_dataset(os.path.join(root, "seq"))
+    ds = get_dataset_type("tum")(
+        config_dict=tum_cfg(), basedir=root, sequence="seq",
+        stride=2, start=1, end=-1, desired_height=24, desired_width=32,
+    )
+    assert len(ds) == 3  # frames 1, 3, 5
+    # relative to frame 1: its own pose is identity, frame 3 at +0.2
+    _, _, _, p0, _ = ds[0]
+    _, _, _, p1, _ = ds[1]
+    assert np.allclose(p0, np.eye(4), atol=1e-6)
+    assert np.isclose(p1[0, 3], 0.2, atol=1e-6)
+
+
+def test_registry_covers_reference_loaders():
+    for name in ["tum", "utmm", "replica", "icl", "scannet", "scannetpp",
+                 "azure", "realsense", "record3d", "nerfcapture", "ai2thor",
+                 "synthetic"]:
+        assert get_dataset_type(name) is not None
+    with pytest.raises(ValueError):
+        get_dataset_type("nope")
