@@ -1,18 +1,26 @@
 """Tile binning: build depth-sorted per-tile Gaussian pair lists.
 
-TPU-native replacement for the CUDA rasterizer's duplicated-key radix sort:
+TPU-native replacement for the CUDA rasterizer's duplicated-key radix sort.
+Design driven by measured TPU primitive costs (sort ~4 ms/M keys; scatter
+~8 ms/M elements — scatters are the thing to avoid):
 
-  * every Gaussian overlapping k tiles emits k (tile, depth, gaussian) pairs
-    into a fixed-capacity buffer via cumsum offsets + scatter (static shapes),
-  * one lexicographic `lax.sort` by (tile, depth-bits) orders pairs so each
-    tile's Gaussians are contiguous and front-to-back,
-  * per-tile segment bounds come from a vectorized searchsorted.
+  1. depth-argsort the GAUSSIANS (N keys, cheap) so any stable tile ordering
+     inherits front-to-back order,
+  2. emit tile candidates DENSELY, no scatter: every Gaussian owns D1 slots
+     ([N, D1]); the few Gaussians covering more than D1 tiles are compacted
+     into a big-tier block ([BIG_CAP, D2]). Empty slots get a sentinel key,
+  3. ONE fused-key sort: key = tile * N_pad + depth_rank packs (tile, depth)
+     into a single int32 (falls back to a 2-key lexicographic sort when the
+     pack would overflow), values = gaussian ids,
+  4. per-tile segment bounds via vectorized searchsorted,
+  5. (pallas path) one scatter re-layout so every segment start is
+     chunk-aligned for the kernel's DMA.
 
 Binning is a *selection* (non-differentiable by design — the CUDA kernel's
 sort isn't differentiated either); gradients flow through the subsequent
-gather + composite. Because binning is pure jnp it can also be refreshed
-inside a jitted optimization loop, or cached across iterations when the
-geometry barely moves (pose deltas during tracking).
+gather + composite. Because binning is pure jnp it can be refreshed inside a
+jitted optimization loop, or cached across iterations when the geometry
+barely moves (pose deltas during tracking).
 """
 from __future__ import annotations
 
@@ -25,14 +33,17 @@ import jax.numpy as jnp
 from .camera import TILE, Camera
 from .projection import ProjectedGaussians
 
+D1 = 8          # dense candidate slots per gaussian (covers rects <= 8 tiles)
+BIG_FRAC = 8    # big-tier capacity = capacity // BIG_FRAC
+
 
 class TileBins(NamedTuple):
-    pair_gauss: jnp.ndarray   # [PAIR_CAP] int32 gaussian index, (tile, depth)-sorted
-    pair_valid: jnp.ndarray   # [PAIR_CAP] bool
+    pair_gauss: jnp.ndarray   # [P] int32 gaussian index, (tile, depth)-sorted
+    pair_valid: jnp.ndarray   # [P] bool
     tile_start: jnp.ndarray   # [n_tiles] int32 segment start into pair_gauss
     tile_count: jnp.ndarray   # [n_tiles] int32 segment length
-    n_pairs: jnp.ndarray      # [] int32 total emitted pairs (pre-clamp)
-    overflow: jnp.ndarray     # [] bool, True if pairs were dropped
+    n_pairs: jnp.ndarray      # [] int32 total emitted pairs
+    overflow: jnp.ndarray     # [] bool, True if pairs were dropped/truncated
 
 
 def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
@@ -45,6 +56,16 @@ def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
     return x0, x1, y0, y1
 
 
+def _candidate_tiles(x0, rect_w, y0, count, n_slots, tiles_x):
+    """Row-major rect cells -> tile ids [N, n_slots]; -1 beyond count."""
+    d = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+    w = jnp.maximum(rect_w, 1)[:, None]
+    dy = d // w
+    dx = d - dy * w
+    tile = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
+    return jnp.where(d < count[:, None], tile, -1)
+
+
 @partial(
     jax.jit,
     static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align"),
@@ -52,7 +73,7 @@ def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
 def build_bins(
     proj: ProjectedGaussians,
     cam: Camera,
-    pair_cap: int,
+    pair_cap: int = 0,
     max_tiles_per_gaussian: int = 64,
     align: int = 0,
 ) -> TileBins:
@@ -61,25 +82,25 @@ def build_bins(
     Args:
       proj: projected Gaussians (radius == 0 rows are skipped).
       cam: static camera (defines the tile grid).
-      pair_cap: static pair-buffer capacity; overflowing pairs are dropped
-        (reported via `overflow`).
+      pair_cap: unused (kept for call compatibility); the pair buffer is
+        sized N*D1 + (N//BIG_FRAC)*max_tiles_per_gaussian.
       max_tiles_per_gaussian: static cap on tiles one Gaussian may cover
-        (row-major truncation beyond that; generous default — pruning keeps
-        screen extents bounded in the SLAM setting).
+        (row-major truncation beyond that; pruning keeps screen extents
+        bounded in the SLAM setting).
       align: if > 0, re-layout segments so every tile_start is a multiple of
-        `align` (the Pallas kernel's DMA alignment requirement); the buffer
-        grows by n_tiles * align slots of padding.
+        `align` (the Pallas kernel's DMA alignment requirement).
     """
+    del pair_cap
     xy = jax.lax.stop_gradient(proj.xy)
     depth = jax.lax.stop_gradient(proj.depth)
     radius = proj.radius
     tiles_x, tiles_y = cam.tiles_x, cam.tiles_y
     n_tiles = tiles_x * tiles_y
     N = xy.shape[0]
+    D2 = max(max_tiles_per_gaussian, D1)
+    big_cap = max(N // BIG_FRAC, 1)
 
-    # Depth-sort the GAUSSIANS first (N keys — 10-20x smaller than the pair
-    # sort): pairs are then emitted in depth order, so one STABLE sort by
-    # tile id alone yields (tile, depth)-ordered segments.
+    # 1. depth order (culled rows last)
     order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
     xy = xy[order]
     radius = radius[order]
@@ -87,64 +108,76 @@ def build_bins(
     x0, x1, y0, y1 = gaussian_tile_rect(xy, radius, tiles_x, tiles_y)
     rect_w = jnp.maximum(x1 - x0, 0)
     rect_h = jnp.maximum(y1 - y0, 0)
-    count = jnp.where(radius > 0, rect_w * rect_h, 0)
-    count = jnp.minimum(count, max_tiles_per_gaussian)
+    raw_count = jnp.where(radius > 0, rect_w * rect_h, 0)
+    count = jnp.minimum(raw_count, D2)
+    n_pairs = jnp.sum(count)
 
-    offsets = jnp.cumsum(count) - count  # exclusive prefix sum
-    n_pairs = offsets[-1] + count[-1]
+    is_big = count > D1
 
-    pair_tile = jnp.full((pair_cap,), n_tiles, dtype=jnp.int32)
-    pair_gauss = jnp.zeros((pair_cap,), dtype=jnp.int32)
+    # 2a. small tier: [N, D1] dense candidates
+    small_count = jnp.where(is_big, 0, count)
+    tile1 = _candidate_tiles(x0, rect_w, y0, small_count, D1, tiles_x)
 
-    # Emit in blocks of EMIT_BLOCK rect cells per Gaussian: one big scatter
-    # per block instead of max_tiles_per_gaussian tiny dependent ones.
-    EMIT_BLOCK = 8
-    rect_w_safe = jnp.maximum(rect_w, 1)
-
-    def emit(b, bufs):
-        pair_tile, pair_gauss = bufs
-        d = b * EMIT_BLOCK + jnp.arange(EMIT_BLOCK, dtype=jnp.int32)[None, :]
-        emit_ok = d < count[:, None]
-        dy = d // rect_w_safe[:, None]
-        dx = d - dy * rect_w_safe[:, None]
-        tile = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
-        target = jnp.where(emit_ok, offsets[:, None] + d, pair_cap)
-        gid = jnp.broadcast_to(order[:, None], target.shape)
-        pair_tile = pair_tile.at[target.reshape(-1)].set(
-            jnp.where(emit_ok, tile, 0).reshape(-1), mode="drop"
-        )
-        pair_gauss = pair_gauss.at[target.reshape(-1)].set(
-            gid.reshape(-1), mode="drop"
-        )
-        return pair_tile, pair_gauss
-
-    pair_tile, pair_gauss = jax.lax.fori_loop(
-        0, (max_tiles_per_gaussian + EMIT_BLOCK - 1) // EMIT_BLOCK,
-        emit, (pair_tile, pair_gauss),
+    # 2b. big tier: compact big gaussians (depth order preserved — stable)
+    big_sel = jnp.argsort(~is_big, stable=True).astype(jnp.int32)[:big_cap]
+    big_valid = is_big[big_sel]
+    big_count = jnp.where(big_valid, count[big_sel], 0)
+    tile2 = _candidate_tiles(
+        x0[big_sel], rect_w[big_sel], y0[big_sel], big_count, D2, tiles_x
     )
 
-    # Stable sort by tile id; buffer order is already depth order.
-    pair_tile, pair_gauss = jax.lax.sort(
-        (pair_tile, pair_gauss), num_keys=1, is_stable=True
-    )
+    # 3. fused (tile, depth-rank) keys; sentinel sorts last
+    n_pad = N  # depth rank < N
+    rank1 = jnp.arange(N, dtype=jnp.int32)[:, None]
+    rank2 = big_sel[:, None]
+    sentinel = n_tiles * n_pad
+    use_fused = (n_tiles + 1) * n_pad < 2**31 - 1
+
+    gauss1 = jnp.broadcast_to(order[:, None], tile1.shape)
+    gauss2 = jnp.broadcast_to(order[big_sel][:, None], tile2.shape)
+    cand_gauss = jnp.concatenate([gauss1.reshape(-1), gauss2.reshape(-1)])
+
+    if use_fused:
+        key1 = jnp.where(tile1 >= 0, tile1 * n_pad + rank1, sentinel)
+        key2 = jnp.where(tile2 >= 0, tile2 * n_pad + rank2, sentinel)
+        keys = jnp.concatenate([key1.reshape(-1), key2.reshape(-1)])
+        keys, pair_gauss = jax.lax.sort((keys, cand_gauss), num_keys=1,
+                                        is_stable=True)
+        pair_tile = jnp.where(keys < sentinel, keys // n_pad, n_tiles)
+    else:  # huge maps/images: 2-key lexicographic fallback
+        t1 = jnp.where(tile1 >= 0, tile1, n_tiles)
+        t2 = jnp.where(tile2 >= 0, tile2, n_tiles)
+        tiles_c = jnp.concatenate([t1.reshape(-1), t2.reshape(-1)])
+        ranks_c = jnp.concatenate(
+            [jnp.broadcast_to(rank1, tile1.shape).reshape(-1),
+             jnp.broadcast_to(rank2, tile2.shape).reshape(-1)]
+        )
+        pair_tile, _, pair_gauss = jax.lax.sort(
+            (tiles_c, ranks_c, cand_gauss), num_keys=2, is_stable=True
+        )
 
     pair_valid = pair_tile < n_tiles
+
+    # 4. segment bounds
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
 
+    overflow = (
+        jnp.any(raw_count > D2)
+        | (jnp.sum(is_big.astype(jnp.int32)) > big_cap)
+    )
+
     if align:
-        # Scatter pairs into a chunk-aligned layout: tile t's segment starts
-        # at cumsum of aligned predecessor sizes; padding slots are invalid.
+        # 5. one scatter into a chunk-aligned layout (pallas DMA requirement)
         aligned_sizes = ((tile_count + align - 1) // align) * align
         aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
-        buf_cap = pair_cap + n_tiles * align
+        P = pair_gauss.shape[0]
+        buf_cap = P + n_tiles * align
         tile_of_pair = jnp.clip(pair_tile, 0, n_tiles - 1)
-        rank = jnp.arange(pair_cap, dtype=jnp.int32) - tile_start[tile_of_pair]
-        target = jnp.where(
-            pair_valid, aligned_start[tile_of_pair] + rank, buf_cap
-        )
+        rank = jnp.arange(P, dtype=jnp.int32) - tile_start[tile_of_pair]
+        target = jnp.where(pair_valid, aligned_start[tile_of_pair] + rank, buf_cap)
         pg = jnp.zeros((buf_cap,), jnp.int32).at[target].set(pair_gauss, mode="drop")
         pv = jnp.zeros((buf_cap,), bool).at[target].set(pair_valid, mode="drop")
         pair_gauss, pair_valid, tile_start = pg, pv, aligned_start
@@ -155,6 +188,5 @@ def build_bins(
         tile_start=tile_start,
         tile_count=tile_count,
         n_pairs=n_pairs.astype(jnp.int32),
-        overflow=(n_pairs > pair_cap)
-        | jnp.any((radius > 0) & (rect_w * rect_h > max_tiles_per_gaussian)),
+        overflow=overflow,
     )

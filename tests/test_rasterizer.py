@@ -170,5 +170,9 @@ def test_binning_overflow_flag():
     g = random_scene(jax.random.PRNGKey(10), 500, cam)
     rs = _settings(cam)
     proj = project_for_pose(g, IDENTITY_POSE, rs)
-    bins = build_bins(proj, cam, pair_cap=16, max_tiles_per_gaussian=256)
+    # gaussians covering more than max_tiles_per_gaussian are truncated and
+    # flagged; the random scene has plenty of multi-tile footprints
+    bins = build_bins(proj, cam, max_tiles_per_gaussian=1)
     assert bool(bins.overflow)
+    bins_ok = build_bins(proj, cam, max_tiles_per_gaussian=256)
+    assert not bool(bins_ok.overflow)
