@@ -427,7 +427,10 @@ class SLAM:
             if psnrs:
                 print("  PSNR : {:>12.7f}".format(np.mean(psnrs)))
                 print("  SSIM : {:>12.7f}".format(np.mean(ssims)))
-                print("  LPIPS: {:>12.7f}".format(np.nanmean(lpipss) if lpipss else float("nan")))
+                finite_lpips = [x for x in lpipss if np.isfinite(x)]
+                print("  LPIPS: {:>12.7f}".format(
+                    np.mean(finite_lpips) if finite_lpips else float("nan")
+                ))
 
         if self.cfg["debug"]["get_runtime_stats"]:
             t_it = self.tracking_time_sum / max(self.tracking_iter_count, 1)
