@@ -4,16 +4,46 @@ Attribute layout (gaussian_model.py:205-257):
   x y z nx ny nz f_dc_{0..2} f_rest_{0..3R-1} opacity scale_{0..2}
   rot_{0..3} rgb_{0..2}           (all float32, little-endian binary)
 
-Implemented directly on numpy (the environment has no plyfile); the writer
-emits the standard ``binary_little_endian 1.0`` format that plyfile/Open3D
-and the reference's own loader (gaussian_model.py:266-363) read back.
+Row interleaving runs through the native C++ codec (native/ply_codec.cpp,
+multithreaded, bound via ctypes) when its shared library is built; a pure
+numpy path is the fallback. The emitted format is standard
+``binary_little_endian 1.0`` that plyfile/Open3D and the reference's own
+loader (gaussian_model.py:266-363) read back.
 """
 from __future__ import annotations
 
+import ctypes
 import os
 import re
 
 import numpy as np
+
+_NATIVE = None
+
+
+def _native():
+    """Lazy-load native/libply_codec.so; None if unavailable."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    lib_path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libply_codec.so"
+    )
+    try:
+        lib = ctypes.CDLL(os.path.abspath(lib_path))
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ply_pack_rows.argtypes = [ctypes.c_int64] * 3 + [f32p] * 8
+        lib.ply_unpack_rows.argtypes = [ctypes.c_int64] * 3 + [f32p] * 8
+        lib.ply_row_stride.argtypes = [ctypes.c_int64] * 2
+        lib.ply_row_stride.restype = ctypes.c_int64
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE or None
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def _attribute_names(n_rest: int) -> list[str]:
@@ -39,26 +69,29 @@ def save_ply(
 ) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     n = xyz.shape[0]
+    n_dc = features_dc.shape[1]
     n_rest = features_rest.shape[1]
 
-    # Channel-major flattening (torch .transpose(1,2).flatten(1)): for
-    # [N, R, C] SH blocks the reference stores f_*_{c*R + r}.
-    f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, 3 * features_dc.shape[1])
-    f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, 3 * n_rest)
-
-    cols = np.concatenate(
-        [
-            xyz,
-            np.zeros_like(xyz),  # normals
-            f_dc,
-            f_rest,
-            opacity,
-            scaling,
-            rotation,
-            rgb,
-        ],
-        axis=1,
-    ).astype("<f4")
+    lib = _native()
+    if lib is not None and n > 0:
+        stride = lib.ply_row_stride(n_dc, n_rest)
+        cols = np.empty((n, stride), dtype="<f4")
+        args = [
+            np.ascontiguousarray(a, dtype=np.float32)
+            for a in (xyz, features_dc, features_rest, opacity, scaling,
+                      rotation, rgb)
+        ]
+        lib.ply_pack_rows(n, n_dc, n_rest, *map(_f32p, args), _f32p(cols))
+    else:
+        # Channel-major flattening (torch .transpose(1,2).flatten(1)): for
+        # [N, R, C] SH blocks the reference stores f_*_{c*R + r}.
+        f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, 3 * n_dc)
+        f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, 3 * n_rest)
+        cols = np.concatenate(
+            [xyz, np.zeros_like(xyz), f_dc, f_rest, opacity, scaling,
+             rotation, rgb],
+            axis=1,
+        ).astype("<f4")
 
     names = _attribute_names(n_rest)
     assert cols.shape[1] == len(names), (cols.shape, len(names))
