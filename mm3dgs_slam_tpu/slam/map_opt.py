@@ -127,7 +127,7 @@ def _map_loss(
     return loss, (proj.radius, proj.radius > 0)
 
 
-@partial(jax.jit, static_argnames=("ms",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("ms",))
 def optimize_map(
     carry: MapCarry,
     kf_colors: jnp.ndarray,   # [K, 3, H, W]
