@@ -87,7 +87,10 @@ def rel_pose_loss(camera_pose: jnp.ndarray, initial_pose: jnp.ndarray):
     gtconj = initial_pose[:4] * jnp.array([1.0, -1.0, -1.0, -1.0], camera_pose.dtype)
     diff = quat_multiply(camera_pose[:4], gtconj)
     diff = diff / jnp.maximum(jnp.linalg.norm(diff), 1e-12)
-    angle_err = 2.0 * jnp.arccos(jnp.clip(jnp.abs(diff[0]), 0.0, 1.0))
+    # clamp strictly inside (-1, 1): d/dx arccos blows up at |x| = 1, and the
+    # optimization STARTS at the identity difference (pose == IMU seed), so an
+    # exact clamp at 1 would seed NaN gradients on the first Adam step.
+    angle_err = 2.0 * jnp.arccos(jnp.clip(jnp.abs(diff[0]), 0.0, 1.0 - 1e-7))
     return t_err, angle_err
 
 
