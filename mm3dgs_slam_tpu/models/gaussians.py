@@ -278,6 +278,25 @@ def grow_capacity(
     return m2, st2
 
 
+def reset_opacity(m: GaussianMap, state: AdamState,
+                  ceiling: float = 0.01) -> tuple[GaussianMap, AdamState]:
+    """Clamp opacities to at most `ceiling` (in probability space) and zero
+    the opacity Adam moments — GaussianModel.reset_opacity
+    (gaussian_model.py:259-264 + replace_tensor_to_optimizer :365-378).
+    Present-but-unscheduled in the reference SLAM loop (opacity_reset_interval
+    exists in the configs but is never consumed)."""
+    op = jax.nn.sigmoid(m.opacity)
+    new_op = jnp.log(jnp.minimum(op, ceiling) / (1 - jnp.minimum(op, ceiling)))
+    new_op = jnp.where(m.alive_mask()[:, None], new_op, m.opacity)
+    m2 = m._replace(opacity=new_op)
+    st2 = AdamState(
+        mu=state.mu._replace(opacity=jnp.zeros_like(state.mu.opacity)),
+        nu=state.nu._replace(opacity=jnp.zeros_like(state.nu.opacity)),
+        step=state.step,
+    )
+    return m2, st2
+
+
 def prune_mask_reference(
     m: GaussianMap,
     extent: jnp.ndarray,

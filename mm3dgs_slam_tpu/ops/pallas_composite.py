@@ -374,11 +374,54 @@ def _cp_bwd(cam, interpret, res, cts):
 composite_pairs_pallas.defvjp(_cp_fwd, _cp_bwd)
 
 
+@jax.custom_vjp
+def _pack_with_tables(xy, conic, opacity, feat, pair_gauss, pair_valid,
+                      small_slots, big_slots, big_gauss, big_valid):
+    return pack_pairs(xy, conic, opacity, feat, pair_gauss, pair_valid)
+
+
+def _pwt_fwd(xy, conic, opacity, feat, pair_gauss, pair_valid,
+             small_slots, big_slots, big_gauss, big_valid):
+    out = pack_pairs(xy, conic, opacity, feat, pair_gauss, pair_valid)
+    return out, (small_slots, big_slots, big_gauss, big_valid)
+
+
+def _pwt_bwd(res, dpair):
+    """Reverse the pair-order gather via the per-gaussian slot tables: two
+    fixed-width gathers + sums + one tiny scatter-add for the big tier —
+    ~25x cheaper than XLA's P-sized scatter-add transpose on TPU."""
+    small_slots, big_slots, big_gauss, big_valid = res
+    # dpair: [NF, Pbuf] -> row-major [Pbuf, NF] so slot gathers read
+    # contiguous 64-byte rows; out-of-range slots (SLOT_SENTINEL) read as 0
+    dpair_rows = dpair.T
+    dsmall = dpair_rows.at[small_slots].get(mode="fill", fill_value=0.0)
+    acc = jnp.sum(dsmall, axis=1)                # [N, NF]
+    dbig = dpair_rows.at[big_slots].get(mode="fill", fill_value=0.0)
+    big_sum = jnp.sum(dbig, axis=1)              # [big_cap, NF]
+    big_sum = jnp.where(big_valid[:, None], big_sum, 0.0)
+    acc = acc.at[big_gauss].add(big_sum)
+    dxy = acc[:, 0:2]
+    dconic = acc[:, 2:5]
+    dop = acc[:, 5]
+    dfeat = acc[:, 6:6 + NC]
+    return (dxy, dconic, dop, dfeat, None, None, None, None, None, None)
+
+
+_pack_with_tables.defvjp(_pwt_fwd, _pwt_bwd)
+
+
 def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
                            interpret: bool = False):
     """Drop-in replacement for ops.composite.composite_tiles (pallas path)."""
-    pair_data = pack_pairs(proj.xy, proj.conic, proj.opacity, proj.feat,
-                           bins.pair_gauss, bins.pair_valid)
+    if bins.small_slots is not None:
+        pair_data = _pack_with_tables(
+            proj.xy, proj.conic, proj.opacity, proj.feat, bins.pair_gauss,
+            bins.pair_valid, bins.small_slots, bins.big_slots,
+            bins.big_gauss, bins.big_valid,
+        )
+    else:
+        pair_data = pack_pairs(proj.xy, proj.conic, proj.opacity, proj.feat,
+                               bins.pair_gauss, bins.pair_valid)
     acc, tfin = composite_pairs_pallas(
         pair_data, bins.tile_start, bins.tile_count, cam, interpret
     )

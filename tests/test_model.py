@@ -158,3 +158,18 @@ def test_prune_mask_reference_criteria():
     assert pm[0] and pm[1] and pm[2]
     assert not pm[3]
     assert not pm[15:].any()  # dead rows never "pruned"
+
+
+def test_reset_opacity():
+    m = small_map()
+    adam = G.init_adam(m)
+    grads = G.zeros_like_map(m)._replace(opacity=jnp.ones_like(m.opacity))
+    m, adam = G.adam_update(m, grads, adam, HYPER)
+    m2, adam2 = G.reset_opacity(m, adam)
+    import jax
+
+    op = jax.nn.sigmoid(m2.opacity[:10, 0])
+    assert float(op.max()) <= 0.01 + 1e-6
+    assert np.allclose(np.asarray(adam2.mu.opacity), 0.0)
+    # dead rows untouched
+    assert np.allclose(np.asarray(m2.opacity[10:]), np.asarray(m.opacity[10:]))
