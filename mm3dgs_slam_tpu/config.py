@@ -34,7 +34,9 @@ _DEFAULTS: dict[str, Any] = {
         "max_new_per_frame": -1,       # -1 = one candidate per pixel
         "imu_pad": 64,                 # static IMU sample capacity per frame
         "use_pallas": "auto",          # auto | never | always
-        "rebin_every": 1,              # binning refresh cadence in opt loops
+        "rebin_every": 1,              # tracking binning refresh cadence
+        "map_rebin_every": 1,          # mapping binning refresh cadence
+        "group_mapping_schedule": False,  # contiguous per-keyframe blocks
         "mesh_devices": 1,             # gaussian-shard mesh size (1 = off)
     },
 }

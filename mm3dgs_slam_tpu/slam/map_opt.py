@@ -59,6 +59,10 @@ class MapOptSettings(NamedTuple):
     cam_t_lr: float = 0.001
     cam_q_lr: float = 0.003
     hyper: MapOptHyper = None  # per-group map LRs
+    rebin_every: int = 1       # binning refresh cadence (1 = every iteration,
+                               # exact parity; >1 pays off with a grouped
+                               # schedule where consecutive iterations render
+                               # the same keyframe)
 
 
 class MapCarry(NamedTuple):
@@ -75,6 +79,20 @@ class MapCarry(NamedTuple):
     last_loss: jnp.ndarray       # [] f32
 
 
+def _bins_for(params: dict, n_alive, pose, ms: MapOptSettings):
+    """Binning for a map snapshot + pose (non-differentiable selection)."""
+    rs = ms.rs
+    m = GaussianMap(**jax.tree.map(jax.lax.stop_gradient, params),
+                    n_alive=n_alive)
+    proj = project_for_pose(m.activated(), jax.lax.stop_gradient(pose), rs)
+    if rs.use_pallas:
+        from ..ops.pallas_composite import CHUNK as _PL_CHUNK
+
+        return build_bins(proj, rs.cam, rs.pair_cap,
+                          rs.max_tiles_per_gaussian, align=_PL_CHUNK)
+    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+
+
 def _map_loss(
     params: dict,
     screen_offset: jnp.ndarray,
@@ -83,24 +101,22 @@ def _map_loss(
     gt_color: jnp.ndarray,
     gt_depth: jnp.ndarray,
     est_depth: jnp.ndarray,
+    bins,
     ms: MapOptSettings,
 ):
     """Loss + aux (radii, visibility). Differentiable in (params,
     screen_offset, pose); n_alive rides separately (int leaves can't be
-    grad arguments)."""
+    grad arguments); bins are precomputed selection (cacheable)."""
     rs = ms.rs
     m = GaussianMap(**params, n_alive=n_alive)
     g = m.activated()
     proj = project_for_pose(g, pose, rs)
     proj = proj._replace(xy=proj.xy + screen_offset)
     if rs.use_pallas:
-        from ..ops.pallas_composite import CHUNK as _PL_CHUNK, composite_tiles_pallas
+        from ..ops.pallas_composite import composite_tiles_pallas
 
-        bins = build_bins(proj, rs.cam, rs.pair_cap,
-                          rs.max_tiles_per_gaussian, align=_PL_CHUNK)
         img6 = composite_tiles_pallas(proj, bins, rs.cam, background(rs))
     else:
-        bins = build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
         img6 = composite_tiles(proj, bins, rs.cam, background(rs),
                                rs.max_per_tile, rs.chunk)
     image = img6[:3]
@@ -141,7 +157,8 @@ def optimize_map(
     grad_fn = jax.value_and_grad(_map_loss, argnums=argnums, has_aux=True)
     from ..models.gaussians import _PARAM_FIELDS
 
-    def body(i, c: MapCarry):
+    def body(i, loop_carry):
+        c, bins, bins_kf = loop_carry
         k = schedule[i]
         pose = c.kf_poses[k]
         gt_color = kf_colors[k]
@@ -149,9 +166,26 @@ def optimize_map(
         est_depth = kf_ests[k]
 
         params = {f: getattr(c.m, f) for f in _PARAM_FIELDS}
+
+        # Binning reuse: the selection only changes when the viewpoint
+        # switches (different keyframe), the map rows move (prune sets
+        # bins_kf = -1), or BA moves poses. Gaussian drift within a few
+        # map-Adam steps is sub-pixel (xyz lr 1e-4) so in-between refreshes
+        # follow ms.rebin_every like the tracker.
+        needs_rebin = (k != bins_kf) | (jnp.mod(i, ms.rebin_every) == 0)
+        if ms.do_BA:
+            needs_rebin = jnp.asarray(True)
+        bins = jax.lax.cond(
+            needs_rebin,
+            lambda: _bins_for(params, c.m.n_alive, pose, ms),
+            lambda: bins,
+        )
+        bins_kf = k
+
         screen0 = jnp.zeros_like(c.m.xyz[:, :2])
         (loss, (radii, visible)), grads = grad_fn(
-            params, screen0, pose, c.m.n_alive, gt_color, gt_depth, est_depth, ms
+            params, screen0, pose, c.m.n_alive, gt_color, gt_depth,
+            est_depth, bins, ms
         )
         if ms.do_BA:
             gp_dict, g_screen, g_pose = grads
@@ -230,10 +264,19 @@ def optimize_map(
             upd_p = lr_vec * (pose_m / bc1) / (jnp.sqrt(pose_v) / jnp.sqrt(bc2) + 1e-15)
             kf_poses = kf_poses - upd_p
 
-        return MapCarry(
+        # pruning compacts/permutes rows -> cached bins are stale
+        bins_kf = jnp.where(is_prune_iter, -1, bins_kf)
+
+        c_out = MapCarry(
             m=m, adam=adam, max_radii=max_radii, grad_accum=grad_accum,
             denom=denom, ba_mask=ba_mask, kf_poses=kf_poses, pose_m=pose_m,
             pose_v=pose_v, pose_step=pose_step, last_loss=loss,
         )
+        return (c_out, bins, bins_kf)
 
-    return jax.lax.fori_loop(0, ms.iters, body, carry)
+    params0 = {f: getattr(carry.m, f) for f in _PARAM_FIELDS}
+    bins0 = _bins_for(params0, carry.m.n_alive, carry.kf_poses[schedule[0]], ms)
+    out, _, _ = jax.lax.fori_loop(
+        0, ms.iters, body, (carry, bins0, jnp.asarray(-1, jnp.int32))
+    )
+    return out

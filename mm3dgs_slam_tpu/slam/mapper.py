@@ -142,8 +142,13 @@ class Mapper:
             cam_t_lr=float(mp["cam_t_lr"]),
             cam_q_lr=float(mp["cam_q_lr"]),
             hyper=G.MapOptHyper.from_cfg(mp),
+            rebin_every=int(cfg["tpu"].get("map_rebin_every", 1)),
         )
         self.window_size = int(mp["kf_window_size"])
+        # Optional TPU-side divergence from the reference's interleaved
+        # stack-sampling: give each window entry the same quota but as
+        # CONTIGUOUS blocks, so cached tile bins survive across iterations.
+        self.group_schedule = bool(cfg["tpu"].get("group_mapping_schedule", False))
 
     # ------------------------------------------------------------------
     # Keyframe decision logic (host; mirrors mapper.py:103-173)
@@ -281,7 +286,26 @@ class Mapper:
     # ------------------------------------------------------------------
     def _build_schedule(self, n_window: int) -> np.ndarray:
         """Replacement-stack sampling (mapper.py:801-807): each window entry
-        is drawn equally often, uniformly without replacement per pass."""
+        is drawn equally often, uniformly without replacement per pass.
+
+        With tpu.group_mapping_schedule the same per-entry quotas are laid
+        out as contiguous randomized blocks (bin-cache friendly; diverges
+        from the reference's interleaving but not from its quotas)."""
+        if self.group_schedule:
+            passes: list[np.ndarray] = []
+            remaining = self.num_iter
+            while remaining > 0:
+                perm = self.rng.permutation(n_window)
+                take = min(remaining, n_window)
+                passes.append(perm[:take])
+                remaining -= take
+            counts = np.zeros(n_window, np.int64)
+            for p in passes:
+                for e in p:
+                    counts[e] += 1
+            blocks = self.rng.permutation(n_window)
+            out = np.concatenate([np.full(counts[b], b, np.int32) for b in blocks])
+            return out.astype(np.int32)
         out = np.empty(self.num_iter, np.int32)
         stack: list[int] = []
         for i in range(self.num_iter):
