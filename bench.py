@@ -69,7 +69,8 @@ def main():
                           lr_features_rest=1.25e-4, lr_scaling=1e-3,
                           lr_rotation=1e-3, lr_opacity=5e-2, lr_rgb=2.5e-3)
     ms = MapOptSettings(rs=rs, iters=MAP_ITERS, method="vigs",
-                        use_gt_depth=True, lambda_dssim=0.2, hyper=hyper)
+                        use_gt_depth=True, lambda_dssim=0.2, hyper=hyper,
+                        rebin_every=25)
     K = 8
     kf_colors = jnp.tile(gt_color[None], (K, 1, 1, 1))
     kf_depths = jnp.tile(gt_depth[None], (K, 1, 1))
@@ -90,7 +91,9 @@ def main():
             last_loss=jnp.asarray(0.0, jnp.float32),
         )
 
-    schedule = jnp.arange(MAP_ITERS, dtype=jnp.int32) % K
+    # grouped schedule (tpu.group_mapping_schedule): contiguous per-keyframe
+    # blocks so the cached tile bins survive across iterations
+    schedule = jnp.sort(jnp.arange(MAP_ITERS, dtype=jnp.int32) % K)
     extent = jnp.asarray(10.0, jnp.float32)
     outc = optimize_map(carry(0), kf_colors, kf_depths, kf_ests, schedule,
                         extent, ms)

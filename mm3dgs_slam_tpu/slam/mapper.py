@@ -204,6 +204,19 @@ class Mapper:
         self.kf_store.append(kf.gt_color, kf.gt_depth, kf.est_depth, kf.pose)
         if idx > 0:
             self.update_covisibility_graph(len(self.keyframes) - 1, g_act)
+        if self.cfg["debug"]["save_keyframes"]:
+            # keyframe image dump (mapper.py:991-1000)
+            import os
+
+            import imageio.v2 as imageio
+
+            render_path = os.path.join(self.cfg["outputdir"], "keyframes")
+            os.makedirs(render_path, exist_ok=True)
+            img = (np.clip(kf.gt_color, 0, 1) * 255).astype(np.uint8)
+            imageio.imwrite(
+                os.path.join(render_path, f"{kf.idx:05d}.png"),
+                img.transpose(1, 2, 0),
+            )
         return kf
 
     def update_covisibility_graph(self, key: int, g_act):

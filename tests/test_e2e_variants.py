@@ -98,3 +98,34 @@ def test_use_gt_pose_mode(tmp_path):
     slam, results = run_slam(cfg)
     # with GT poses the trajectory is exact
     assert float(results["ate_rmse"]) < 1e-5
+
+
+def test_grouped_schedule_and_bin_reuse(tmp_path):
+    """tpu.group_mapping_schedule + map_rebin_every: same per-keyframe quotas,
+    cached bins — the run must stay finite and comparable in quality."""
+    cfg = tiny(make_cfg(tmp_path))
+    cfg["tpu"]["group_mapping_schedule"] = True
+    cfg["tpu"]["map_rebin_every"] = 5
+    cfg["tpu"]["rebin_every"] = 3
+    slam, results = run_slam(cfg)
+    assert np.isfinite(results["pose_est"]).all()
+    assert float(results["ate_rmse"]) < 0.1
+
+
+def test_grouped_schedule_quotas():
+    from mm3dgs_slam_tpu.slam.mapper import Mapper
+
+    class Dummy(Mapper):
+        def __init__(self):
+            import numpy as np
+
+            self.num_iter = 150
+            self.group_schedule = True
+            self.rng = np.random.default_rng(0)
+
+    sched = Dummy()._build_schedule(7)
+    counts = np.bincount(sched, minlength=7)
+    assert sched.shape == (150,)
+    assert counts.max() - counts.min() <= 1  # balanced quotas
+    # contiguous blocks: number of value changes == n_window - 1
+    assert int((np.diff(sched) != 0).sum()) == 6
