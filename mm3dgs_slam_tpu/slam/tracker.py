@@ -130,16 +130,9 @@ def track_frame(
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
-    def body(i, carry):
-        q, T, mq, vq, mT, vT, bins, _ = carry
-        if ts.rebin_every > 1:
-            bins = jax.lax.cond(
-                jnp.mod(i, ts.rebin_every) == 0,
-                lambda: make_bins(jnp.concatenate([q, T])),
-                lambda: bins,
-            )
-        else:
-            bins = make_bins(jnp.concatenate([q, T]))
+    def adam_iter(i, carry, bins):
+        """One Adam step; `i` is the GLOBAL iteration (for bias correction)."""
+        q, T, mq, vq, mT, vT, _ = carry
         loss, (gq, gT) = grad_fn(q, T, bins)
         step = (i + 1).astype(jnp.float32)
         bc1 = 1.0 - ts.b1**step
@@ -152,15 +145,32 @@ def track_frame(
         mT = ts.b1 * mT + (1 - ts.b1) * gT
         vT = ts.b2 * vT + (1 - ts.b2) * gT * gT
         T = T - ts.position_lr * (mT / bc1) / (jnp.sqrt(vT) / jnp.sqrt(bc2) + ts.eps)
-        return (q, T, mq, vq, mT, vT, bins, loss)
+        return (q, T, mq, vq, mT, vT, loss)
 
     q0 = pose_init[:4]
     T0 = pose_init[4:]
     z4 = jnp.zeros_like(q0)
     z3 = jnp.zeros_like(T0)
-    bins0 = make_bins(pose_init)
-    q, T, *_, loss = jax.lax.fori_loop(
-        0, ts.iters, body,
-        (q0, T0, z4, z4, z3, z3, bins0, jnp.asarray(0.0, jnp.float32)),
-    )
+    carry0 = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
+
+    # Blocked loop: bins are rebuilt once per block and stay loop-invariant
+    # inside it (pose moves sub-pixel per Adam step). Nesting — rather than a
+    # lax.cond in a flat loop — keeps the large bins pytree out of the inner
+    # carry entirely.
+    rebin = max(int(ts.rebin_every), 1)
+    n_blocks = -(-ts.iters // rebin)
+
+    def block(b, carry):
+        q, T = carry[0], carry[1]
+        bins = make_bins(jnp.concatenate([q, T]))
+
+        def inner(j, c):
+            i = b * rebin + j
+            return jax.lax.cond(
+                i < ts.iters, lambda: adam_iter(i, c, bins), lambda: c
+            )
+
+        return jax.lax.fori_loop(0, rebin, inner, carry)
+
+    q, T, *_, loss = jax.lax.fori_loop(0, n_blocks, block, carry0)
     return jnp.concatenate([q, T]), loss
