@@ -23,7 +23,7 @@ lanes; in-kernel arrays put the tile's 256 pixels on sublanes and the 128
 chunk pairs on lanes.
 
 Field rows: 0 xy_x, 1 xy_y, 2:5 conic, 5 opacity, 6:12 features
-(rgb + z/sil/z^2), 12:16 pad.
+(rgb + z/sil/z^2).
 
 Semantics match ops/composite.py exactly (alpha clamp straight-through,
 1/255 skip, hard T < 1e-4 stop with frozen transmittance); tests cross-check
@@ -42,13 +42,14 @@ from .camera import TILE, Camera
 
 CHUNK = 128         # pairs per inner step (lanes)
 PIX = TILE * TILE   # 256 pixels per tile (sublanes)
-NF = 16             # packed pair fields
+NF = 16             # packed pair fields (12 used + 4 pad; Mosaic DMA
+                    # slices must be 8-aligned on sublanes, so 12 is illegal)
 NC = 6              # composited channels
 
 
 def pack_pairs(proj_xy, proj_conic, proj_opacity, proj_feat, pair_gauss,
                pair_valid):
-    """Gather per-pair data into pair order, field-major [16, CAP + CHUNK].
+    """Gather per-pair data into pair order, field-major [NF, CAP + CHUNK].
 
     The gather is the differentiable boundary: its VJP scatter-adds the
     kernel's per-pair gradients into per-Gaussian gradients. Invalid
@@ -60,7 +61,7 @@ def pack_pairs(proj_xy, proj_conic, proj_opacity, proj_feat, pair_gauss,
     op = proj_opacity[pair_gauss][:, None]
     feat = proj_feat[pair_gauss]      # [P, NC]
     pad = jnp.zeros((xy.shape[0], NF - 2 - 3 - 1 - NC), xy.dtype)
-    data = jnp.concatenate([xy, conic, op, feat, pad], axis=1)  # [P, 16]
+    data = jnp.concatenate([xy, conic, op, feat, pad], axis=1)  # [P, NF]
     data = jnp.where(pair_valid[:, None], data, 0.0)
     data = data.T  # [16, P]
     return jnp.concatenate(
