@@ -7,13 +7,14 @@ imu | None)`` per frame (gradslam_datasets/basedataset.py:324-377).
 from .base import RGBDDataset
 from .tum import TUMDataset
 from .utmm import UTMMDataset
-from .replica import ReplicaDataset
+from .replica import ReplicaDataset, ReplicaV2Dataset
 from .synthetic import SyntheticDataset
 
 _REGISTRY = {
     "tum": TUMDataset,
     "utmm": UTMMDataset,
     "replica": ReplicaDataset,
+    "replicav2": ReplicaV2Dataset,
     "synthetic": SyntheticDataset,
 }
 

@@ -39,6 +39,16 @@ class RenderSettings(NamedTuple):
     sh_degree: int = 0
     transform_means_python: bool = True
     force_isotropic: bool = False
+    # pipeline.compute_cov3D_python (renderer.py:160-175): when the reference
+    # precomputes cov3D in python it never applies force_isotropic (the
+    # isotropic tiling lives on the scales=... branch that is skipped), so
+    # the ONLY observable effect of the flag is bypassing force_isotropic.
+    # pipeline.convert_SHs_python is a true no-op here: its python branch
+    # (renderer.py:182-190) computes exactly the eval_sh + 0.5 clamp the CUDA
+    # rasterizer otherwise does — which is what ops/projection.py always does.
+    # pipeline.use_rgb is dead in the reference (defined at TUM.yml:30,
+    # consumed by no code) and is accepted-but-ignored for config parity.
+    compute_cov3d_python: bool = False
     white_background: bool = False
     pair_cap: int = 1 << 20
     max_per_tile: int = 1024
@@ -63,9 +73,11 @@ def project_for_pose(
     g: ActivatedGaussians, camera_pose: jnp.ndarray, rs: RenderSettings
 ) -> ProjectedGaussians:
     """Project the map for a 7-vec w2c pose, honoring the transform mode."""
-    if rs.force_isotropic:
+    if rs.force_isotropic and not rs.compute_cov3d_python:
         # exp(tile(_scaling[:,0])) (renderer.py:167-168); scales here are
-        # post-exp so tiling column 0 is equivalent.
+        # post-exp so tiling column 0 is equivalent. compute_cov3D_python
+        # skips this branch entirely (renderer.py:164-175) — see
+        # RenderSettings.compute_cov3d_python.
         scales = jnp.tile(g.scales[:, :1], (1, 3))
     else:
         scales = g.scales

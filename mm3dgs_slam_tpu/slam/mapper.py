@@ -115,6 +115,7 @@ class Mapper:
         self.rng = np.random.default_rng(cfg.get("seed", 0))
         self.mapping_time_sum = 0.0
         self.mapping_iter_count = 0
+        self.last_n_added = 0
 
         # Persistent densification stats (gaussian_model.py:62-66): live
         # across frames, zeroed whenever new Gaussians are appended
@@ -369,7 +370,8 @@ class Mapper:
             need = int(m.n_alive) + n_new
             if need > m.capacity:
                 m, adam = G.grow_capacity(m, adam, G.required_capacity(need))
-            m, adam, _ = G.append_gaussians(m, adam, stats.candidates)
+            m, adam, n_added = G.append_gaussians(m, adam, stats.candidates)
+            self.last_n_added = int(n_added)
             new_vis_mask = np.asarray(stats.non_presence)
             # densification resets the stats (gaussian_model.py:482-488)
             self.max_radii = jnp.zeros((m.capacity,), jnp.float32)
@@ -407,7 +409,11 @@ class Mapper:
                 m.activated(), kf_poses, pose_valid, self.rs, 2
             )
             if new_vis_mask is not None:
-                alive_new = jnp.arange(cap) >= (m.n_alive - int(jnp.sum(jnp.asarray(new_vis_mask))))
+                # rows actually appended this frame: append_gaussians can clamp
+                # candidates on capacity overflow, so use its returned count,
+                # not the candidate-pixel count (mapper.py:931-936 marks the
+                # newly added tail as always-optimizable)
+                alive_new = jnp.arange(cap) >= (m.n_alive - self.last_n_added)
                 ba_mask = ba_mask | (alive_new & m.alive_mask())
 
         carry = MapCarry(

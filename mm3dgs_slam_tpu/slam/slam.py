@@ -94,6 +94,7 @@ class SLAM:
             sh_degree=cfg["mapping"]["sh_degree"],
             transform_means_python=cfg["pipeline"]["transform_means_python"],
             force_isotropic=cfg["pipeline"]["force_isotropic"],
+            compute_cov3d_python=cfg["pipeline"]["compute_cov3D_python"],
             white_background=cfg["white_background"],
             pair_cap=int(tpu["pair_cap"]),
             max_per_tile=int(tpu["max_per_tile"]),

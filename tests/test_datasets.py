@@ -90,3 +90,65 @@ def test_registry_covers_reference_loaders():
         assert get_dataset_type(name) is not None
     with pytest.raises(ValueError):
         get_dataset_type("nope")
+
+
+def write_replicav2_dataset(root, seq="room_0", n_train=4, n_eval=3, h=32, w=40,
+                            depth_scale=1000.0):
+    rng = np.random.default_rng(1)
+    for split, n in (("00", n_train), ("01", n_eval)):
+        d = os.path.join(root, seq, "imap", split)
+        os.makedirs(os.path.join(d, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(d, "depth"), exist_ok=True)
+        lines = []
+        for i in range(n):
+            img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+            depth = (rng.uniform(0.5, 3.0, size=(h, w)) * depth_scale).astype(np.uint16)
+            imageio.imwrite(os.path.join(d, "rgb", f"rgb_{i}.png"), img)
+            imageio.imwrite(os.path.join(d, "depth", f"depth_{i}.png"), depth)
+            T = np.eye(4)
+            T[0, 3] = (0.5 if split == "01" else 0.1) * i + (10.0 if split == "01" else 0.0)
+            lines.append(" ".join(f"{v:.6f}" for v in T.reshape(-1)))
+        with open(os.path.join(d, "traj_w_c.txt"), "w") as f:
+            f.write("\n".join(lines))
+
+
+def replicav2_cfg(h=32, w=40):
+    return {
+        "dataset": "replicav2",
+        "cam": {
+            "image_height": h, "image_width": w,
+            "fx": 40.0, "fy": 40.0, "cx": w / 2, "cy": h / 2,
+            "png_depth_scale": 1000.0, "crop_edge": 0,
+        },
+    }
+
+
+def test_replicav2_train_split(tmp_path):
+    root = str(tmp_path)
+    write_replicav2_dataset(root)
+    ds = get_dataset_type("replicav2")(
+        config_dict=replicav2_cfg(), basedir=root, sequence="room_0",
+        stride=1, start=0, end=-1, desired_height=16, desired_width=20,
+        relative_pose=False,
+    )
+    assert len(ds) == 4
+    color, depth, intrinsics, pose, _ = ds[2]
+    assert color.shape == (16, 20, 3)
+    assert np.isclose(pose[0, 3], 0.2, atol=1e-6)
+
+
+def test_replicav2_eval_split_prepends_train_frame0(tmp_path):
+    """replica.py:111-148: eval split prepends imap/00 frame 0 as an anchor."""
+    root = str(tmp_path)
+    write_replicav2_dataset(root)
+    ds = get_dataset_type("replicav2")(
+        config_dict=replicav2_cfg(), basedir=root, sequence="room_0",
+        use_train_split=False,
+        stride=1, start=0, end=-1, desired_height=16, desired_width=20,
+        relative_pose=False,
+    )
+    assert len(ds) == 4  # 1 train anchor + 3 eval
+    _, _, _, p0, _ = ds[0]
+    assert np.isclose(p0[0, 3], 0.0, atol=1e-6)   # train frame 0
+    _, _, _, p1, _ = ds[1]
+    assert np.isclose(p1[0, 3], 10.0, atol=1e-6)  # eval frame 0
