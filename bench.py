@@ -3,10 +3,11 @@
 
 Measures the reference's iteration budget (100 tracking + 150 mapping Adam
 iterations per frame, configs/TUM.yml:32,44) at TUM resolution (640x480) on
-a realistic pixel-scale map, end to end (render + loss + backward +
-optimizer), with the production settings (Pallas compositor, binning reuse).
-vs_baseline is against the BASELINE.json north-star of 30 FPS real-time
-tracking+mapping on one v5e chip.
+a SYNTHETIC pixel-scale map (random surfel scene at mapped-room scale — a
+proxy for TUM fr1/desk workloads, not real TUM frames), end to end
+(render + loss + backward + optimizer), with the production settings
+(Pallas compositor, binning reuse, bin_d1=4). vs_baseline is against the
+BASELINE.json north-star of 30 FPS real-time tracking+mapping on one v5e.
 
 Timing notes: inputs VARY between repetitions and results are fetched to
 host — the remote-execution layer dedupes identical dispatches, so naive
@@ -38,7 +39,8 @@ def main():
     m, cam = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
     adam = G.init_adam(m)
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
-                        max_tiles_per_gaussian=64, use_pallas=on_tpu)
+                        max_tiles_per_gaussian=64, use_pallas=on_tpu,
+                        bin_d1=4, bin_big_frac=16)
 
     base_pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
     out = render(m.activated(), base_pose, rs)
@@ -57,7 +59,7 @@ def main():
     zeros_d = jnp.zeros_like(gt_depth)
     p, _ = track_frame(g_act, jitters(1)[0], gt_color, gt_depth, zeros_d, ts)
     jax.block_until_ready(p)  # compile
-    REPS = 3
+    REPS = 5
     t0 = time.perf_counter()
     for j in jitters(REPS):
         p, l = track_frame(g_act, j, gt_color, gt_depth, zeros_d, ts)
@@ -110,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "tum_640x480_track100+map150_fps",
+                "metric": "synthetic_640x480_track100+map150_fps",
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),

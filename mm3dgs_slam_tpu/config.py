@@ -31,6 +31,8 @@ _DEFAULTS: dict[str, Any] = {
         "max_per_tile": 2048,
         "chunk": 32,
         "max_tiles_per_gaussian": 64,
+        "bin_d1": 8,                   # binning small-tier slots/gaussian
+        "bin_big_frac": 8,             # binning big-tier capacity divisor
         "max_new_per_frame": -1,       # -1 = one candidate per pixel
         "imu_pad": 64,                 # static IMU sample capacity per frame
         "use_pallas": "auto",          # auto | never | always

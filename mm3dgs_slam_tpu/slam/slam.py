@@ -101,6 +101,8 @@ class SLAM:
             chunk=int(tpu["chunk"]),
             max_tiles_per_gaussian=int(tpu["max_tiles_per_gaussian"]),
             use_pallas=bool(use_pallas),
+            bin_d1=int(tpu["bin_d1"]),
+            bin_big_frac=int(tpu["bin_big_frac"]),
         )
 
         # Map state
@@ -138,7 +140,7 @@ class SLAM:
 
         self.dpt = None
         if not self.use_gt_depth:
-            self.dpt = get_dpt(cfg["dpt_model"])
+            self.dpt = get_dpt(cfg["dpt_model"], weights=cfg.get("dpt_weights"))
 
         self.video_writer = None
         if cfg["debug"]["create_video"]:
@@ -236,7 +238,11 @@ class SLAM:
     def _fit_est_depth(self, idx, est_depth_dev, gt_depth_dev):
         """Scale the inverse-depth estimate to metric (SLAM.py:411-448)."""
         if idx == 0 and not self._resume:
-            if self.cfg["dataset"].lower() == "utmm":
+            # UTMM anchors frame 0 to GT depth by LS fit (SLAM.py:419-424);
+            # TUM uses the fixed png_depth_scale/10 heuristic tuned for MiDaS
+            # output magnitudes (SLAM.py:426-430). Our synthetic demo set
+            # takes the LS branch (TinyDPT's output scale is arbitrary).
+            if self.cfg["dataset"].lower() in ("utmm", "synthetic"):
                 mask = gt_depth_dev > 0
                 s, b = get_scale_shift_ls(est_depth_dev, gt_depth_dev, mask)
                 return 1.0 / (s * est_depth_dev + b)
@@ -341,6 +347,10 @@ class SLAM:
         self.gaussians, self.adam = m, adam
         self.estimate_pose_list[idx] = upd_pose
 
+        # --- Binning-cap surfacing (one scalar fetch per frame) ---------
+        if self.cfg["tpu"].get("check_overflow", True):
+            self._check_binning_overflow(idx)
+
         # --- Logging ---------------------------------------------------
         self.gt_pose_list[idx] = np.asarray(
             w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
@@ -349,6 +359,39 @@ class SLAM:
             self._write_video_frame(idx, gt_color_np, gt_depth_np, est_depth_scaled)
 
     # ------------------------------------------------------------------
+    def _check_binning_overflow(self, idx: int):
+        """Warn when the scene approaches/breaches the static binning caps
+        (ops/binning.py tiers) — silent truncation degrades quality with no
+        other signal. One cheap dispatch + scalar fetch per frame."""
+        from ..ops.binning import binning_diagnostics
+        from ..ops.render import project_for_pose
+
+        proj = project_for_pose(
+            self.gaussians.activated(),
+            jnp.asarray(self.estimate_pose_list[idx], jnp.float32), self.rs,
+        )
+        d1 = self.rs.bin_d1
+        n_pairs, n_big, max_rect = binning_diagnostics(
+            proj, self.rs.cam, self.rs.max_tiles_per_gaussian, d1=d1
+        )
+        n_pairs, n_big, max_rect = int(n_pairs), int(n_big), int(max_rect)
+        cap = self.gaussians.capacity
+        big_cap = max(cap // self.rs.bin_big_frac, 1)
+        d2 = max(self.rs.max_tiles_per_gaussian, d1)
+        if max_rect > d2:
+            print(f"[binning] WARNING frame {idx}: a Gaussian covers "
+                  f"{max_rect} tiles > max_tiles_per_gaussian={d2}; its pair "
+                  f"list is truncated (raise tpu.max_tiles_per_gaussian or "
+                  f"tighten pruning size_threshold)")
+        if n_big > big_cap:
+            print(f"[binning] WARNING frame {idx}: {n_big} Gaussians exceed "
+                  f"the {d1}-tile small tier but big-tier capacity is "
+                  f"{big_cap}; overflow pairs are dropped (raise "
+                  f"tpu.bin_d1 or lower tpu.bin_big_frac)")
+        if n_pairs > self.rs.pair_cap:
+            print(f"[binning] WARNING frame {idx}: {n_pairs} pairs exceed "
+                  f"tpu.pair_cap={self.rs.pair_cap}")
+
     def render_eval(self, idx: int):
         out = render(
             self.gaussians.activated(),

@@ -120,7 +120,8 @@ def track_frame(
     def make_bins(pose):
         proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
         return build_bins(proj, rs.cam, rs.pair_cap,
-                          rs.max_tiles_per_gaussian, align=align)
+                          rs.max_tiles_per_gaussian, align=align,
+                          d1=rs.bin_d1, big_frac=rs.bin_big_frac)
 
     def loss_fn(q, T, bins):
         pose = jnp.concatenate([q, T])
@@ -153,24 +154,24 @@ def track_frame(
     z3 = jnp.zeros_like(T0)
     carry0 = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
 
-    # Blocked loop: bins are rebuilt once per block and stay loop-invariant
-    # inside it (pose moves sub-pixel per Adam step). Nesting — rather than a
-    # lax.cond in a flat loop — keeps the large bins pytree out of the inner
-    # carry entirely.
+    # Flat loop with a cond-guarded rebin every `rebin_every` iterations,
+    # bins riding in the carry (same structure as optimize_map). Measured on
+    # TPU this halves per-iteration cost vs the round-1 nested blocked loop
+    # (125-133 vs 255 ms/iter at 131k gaussians): the nested
+    # fori(block)/fori(inner)/cond structure defeated XLA's loop
+    # optimizations, while carrying the bins pytree through a flat loop
+    # costs only ~8 ms/iter (scripts/profile_loop.py).
     rebin = max(int(ts.rebin_every), 1)
-    n_blocks = -(-ts.iters // rebin)
 
-    def block(b, carry):
-        q, T = carry[0], carry[1]
-        bins = make_bins(jnp.concatenate([q, T]))
+    def body(i, loop_carry):
+        c, bins = loop_carry
+        bins = jax.lax.cond(
+            (jnp.mod(i, rebin) == 0) & (i > 0),  # i=0 uses the seed bins
+            lambda: make_bins(jnp.concatenate([c[0], c[1]])),
+            lambda: bins,
+        )
+        return (adam_iter(i, c, bins), bins)
 
-        def inner(j, c):
-            i = b * rebin + j
-            return jax.lax.cond(
-                i < ts.iters, lambda: adam_iter(i, c, bins), lambda: c
-            )
-
-        return jax.lax.fori_loop(0, rebin, inner, carry)
-
-    q, T, *_, loss = jax.lax.fori_loop(0, n_blocks, block, carry0)
+    bins0 = make_bins(pose_init)
+    (q, T, *_, loss), _ = jax.lax.fori_loop(0, ts.iters, body, (carry0, bins0))
     return jnp.concatenate([q, T]), loss

@@ -18,26 +18,33 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+_overhead_ms = 0.0
+
+
 def timeit(name, fn, variants, reps):
-    """fn(v) -> jax array(s); host-fetch one scalar per rep."""
+    """fn(v) -> jax array(s). The tunnel costs ~tens of ms per
+    dispatch+fetch round trip, so chain `reps` VARIED calls (dedup trap)
+    whose first-leaf scalars accumulate into ONE fetched value; enqueue is
+    async so wall-clock ≈ sum of device times + one round trip. The caller
+    measures a null dispatch first and we subtract it."""
     import jax
     import jax.numpy as jnp
 
-    out = fn(variants[0])  # compile
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    # one more warm call, fetched, to flush any lazy path
-    leaf = jax.tree.leaves(fn(variants[1]))[0]
-    float(jnp.sum(leaf.astype(jnp.float32)) * 0 + jnp.ravel(leaf)[0].astype(jnp.float32))
-    ts = []
+    def scalar(v):
+        leaf = jax.tree.leaves(fn(v))[0]
+        return jnp.ravel(leaf)[0].astype(jnp.float32)
+
+    acc = scalar(variants[0]) * 0.0
+    for v in variants[:3]:  # warm/compile incl. accumulate graph
+        acc = acc + scalar(v) * 0.0
+    float(acc)
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for i in range(reps):
-        v = variants[2 + (i % (len(variants) - 2))]
-        t0 = time.perf_counter()
-        out = fn(v)
-        leaf = jax.tree.leaves(out)[0]
-        float(jnp.ravel(leaf)[0].astype(jnp.float32))  # host fetch
-        ts.append(time.perf_counter() - t0)
-    ms = sorted(ts)[len(ts) // 2] * 1e3
-    print(f"| {name} | {ms:8.2f} |")
+        acc = acc + scalar(variants[i % len(variants)])
+    float(acc)
+    ms = (time.perf_counter() - t0) / reps * 1e3 - _overhead_ms
+    print(f"| {name} | {ms:8.2f} |", flush=True)
     return ms
 
 
@@ -75,9 +82,14 @@ def main():
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
                         max_tiles_per_gaussian=64, use_pallas=True)
     base = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
-    poses = [base.at[4].add(1e-3 * i) for i in range(args.reps + 4)]
+    poses = [base.at[4].add(1e-3 * i) for i in range(max(args.reps, 4) + 4)]
 
     print("| stage | ms |\n|---|---|")
+
+    global _overhead_ms
+    null = jax.jit(lambda p: p * 2.0)
+    _overhead_ms = timeit("null dispatch (overhead/rep)", null, poses,
+                          args.reps)
 
     # --- projection fwd ---------------------------------------------------
     proj_fn = jax.jit(lambda p: project_for_pose(g, p, rs))
@@ -104,8 +116,7 @@ def main():
     @jax.jit
     def pack_fn(p):
         proj = project_for_pose(g, p, rs)
-        return pack_pairs(proj.xy, proj.conic, proj.opacity, proj.feat,
-                          bins0.pair_gauss, bins0.pair_valid)
+        return pack_pairs(proj.packed, bins0.pair_gauss, bins0.pair_valid)
 
     t_pack = timeit("projection + pack fwd", pack_fn, poses, args.reps)
 
@@ -195,16 +206,15 @@ def main():
     # --- pack bwd isolation (via pack_with_tables grad) ----------------------
     from mm3dgs_slam_tpu.ops.pallas_composite import _pack_with_tables
 
-    def ploss(xy, s):
-        pd = _pack_with_tables(xy * s, proj0.conic, proj0.opacity, proj0.feat,
-                               bins0.pair_gauss, bins0.pair_valid,
+    def ploss(packed, s):
+        pd = _pack_with_tables(packed * s, bins0.pair_gauss, bins0.pair_valid,
                                bins0.small_slots, bins0.big_slots,
                                bins0.big_gauss, bins0.big_valid)
         return jnp.sum(pd * pd)
 
     pgrad = jax.jit(jax.grad(ploss))
-    timeit("pack fwd+bwd (d/dxy, tables)",
-           lambda s: pgrad(proj0.xy, s), scales, args.reps)
+    timeit("pack fwd+bwd (d/dpacked, tables)",
+           lambda s: pgrad(proj0.packed, s), scales, args.reps)
 
 
 if __name__ == "__main__":

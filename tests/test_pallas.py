@@ -58,7 +58,13 @@ def test_pallas_backward_matches_xla():
         return jnp.mean((img - gt) ** 2)
 
     def loss_pl(xy, conic, opacity, feat):
-        p = proj._replace(xy=xy, conic=conic, opacity=opacity, feat=feat)
+        # the pallas path consumes proj.packed (its differentiable boundary);
+        # rebuild it from the component args like projection does
+        packed = jnp.concatenate(
+            [xy, conic, opacity[:, None], feat,
+             jnp.zeros((xy.shape[0], 4), xy.dtype)], axis=1)
+        p = proj._replace(xy=xy, conic=conic, opacity=opacity, feat=feat,
+                          packed=packed)
         img = composite_tiles_pallas(p, bins, cam, bg, interpret=True)
         return jnp.mean((img - gt) ** 2)
 
