@@ -57,14 +57,16 @@ def main():
                        rebin_every=10)
     g_act = m.activated()
     zeros_d = jnp.zeros_like(gt_depth)
-    p, _ = track_frame(g_act, jitters(1)[0], gt_color, gt_depth, zeros_d, ts)
-    jax.block_until_ready(p)  # compile
     REPS = 5
-    t0 = time.perf_counter()
-    for j in jitters(REPS):
+    WARM = 2  # discarded: the first dispatches after a compile run slow
+              # through the tunnel, and throughput varies between minutes
+    times = []
+    for i, j in enumerate(jitters(REPS + WARM)):
+        t0 = time.perf_counter()
         p, l = track_frame(g_act, j, gt_color, gt_depth, zeros_d, ts)
         float(l)  # host fetch forces completion
-    track_s = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    track_s = sorted(times[WARM:])[len(times[WARM:]) // 2]
 
     # --- mapping (150 iters inside one jitted fori_loop) ----------------
     hyper = G.MapOptHyper(lr_xyz=1e-4, lr_features_dc=2.5e-3,
@@ -97,15 +99,14 @@ def main():
     # blocks so the cached tile bins survive across iterations
     schedule = jnp.sort(jnp.arange(MAP_ITERS, dtype=jnp.int32) % K)
     extent = jnp.asarray(10.0, jnp.float32)
-    outc = optimize_map(carry(0), kf_colors, kf_depths, kf_ests, schedule,
-                        extent, ms)
-    jax.block_until_ready(outc.last_loss)  # compile
-    t0 = time.perf_counter()
-    for i in range(REPS):
+    times = []
+    for i in range(REPS + WARM):
+        t0 = time.perf_counter()
         outc = optimize_map(carry(i + 1), kf_colors, kf_depths, kf_ests,
                             schedule, extent, ms)
         float(outc.last_loss)
-    map_s = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    map_s = sorted(times[WARM:])[len(times[WARM:]) // 2]
 
     frame_s = track_s + map_s
     fps = 1.0 / frame_s

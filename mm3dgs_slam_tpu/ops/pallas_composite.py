@@ -245,7 +245,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
     def dma_out(ci, slot):
         off = pl.multiple_of(start + ci * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            dpair_buf.at[slot], dpair_hbm.at[:, pl.ds(off, CHUNK)],
+            dpair_buf.at[slot], dpair_hbm.at[pl.ds(off, CHUNK), :],
             sems.at[2 + slot]
         )
 
@@ -307,8 +307,17 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
             dma_out(ci - 2, slot).wait()
 
         zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
-        dpair_buf[slot] = jnp.concatenate(
+        block = jnp.concatenate(
             [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
+        )
+        # emit ROW-major [CHUNK, 128]: the in-VMEM [16,128] transpose is a
+        # few tile shuffles, vs ~45 ms for XLA to materialize the
+        # [NF, P] -> [P, NF] transpose in HBM that the slot-table gathers
+        # would otherwise need. Rows are padded NF -> 128 lanes because
+        # Mosaic VMEM slices must be 128-aligned on the lane dim (HBM only
+        # pays 8x on this scratch buffer's traffic, ~0.5 ms).
+        dpair_buf[slot] = jnp.concatenate(
+            [block.T, jnp.zeros((CHUNK, 128 - NF), jnp.float32)], axis=1
         )
         dma_out(ci, slot).start()
 
@@ -332,8 +341,11 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret"))
-def _composite_pallas_bwd(pair_data, tile_start, tile_count, acc, tfin,
-                          dacc, dtfin, cam: Camera, interpret: bool = False):
+def _composite_pallas_bwd_rows(pair_data, tile_start, tile_count, acc, tfin,
+                               dacc, dtfin, cam: Camera,
+                               interpret: bool = False):
+    """Backward kernel: per-pair gradients in ROW-major [padded_cap, 128]
+    (columns NF: are zero pad — Mosaic lane alignment)."""
     n_tiles = cam.n_tiles
     padded_cap = pair_data.shape[1]
     kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x)
@@ -354,25 +366,25 @@ def _composite_pallas_bwd(pair_data, tile_start, tile_count, acc, tfin,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NF, CHUNK), jnp.float32),   # pair in double-buffer
-            pltpu.VMEM((2, NF, CHUNK), jnp.float32),   # dpair out double-buffer
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),  # dpair out (row-major)
             pltpu.SemaphoreType.DMA((4,)),             # 2 in + 2 out
         ],
     )
-    dpair = pl.pallas_call(
+    dpair_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NF, padded_cap), jnp.float32),
-        # grid programs overwrite each other's chunk overhang (then the owner
-        # rewrites it); keep the tile loop sequential so the final writer wins
+        out_shape=jax.ShapeDtypeStruct((padded_cap, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(tile_start, tile_count, pair_data, dacc, dtfin, acc, tfin)
-    # columns never owned by a tile (padding + invalid pairs) hold garbage
-    n_valid = tile_start[-1] + tile_count[-1]
-    valid = jnp.arange(padded_cap) < n_valid
-    return jnp.where(valid[None, :], dpair, 0.0)
+    # Rows beyond the last tile's aligned end are never kernel-written and
+    # hold garbage — fine for the slot-table consumers (tables only index
+    # kernel-written slots; invalid candidates carry SLOT_SENTINEL, which
+    # the fill-mode gather zeroes). Callers that expose dpair as a plain
+    # cotangent must mask + transpose (see composite_pairs_pallas).
+    return dpair_rows
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -396,30 +408,24 @@ def _cp_fwd(pair_data, tile_start, tile_count, cam, interpret):
 def _cp_bwd(cam, interpret, res, cts):
     pair_data, tile_start, tile_count, acc, tfin = res
     dacc, dtfin = cts
-    dpair = _composite_pallas_bwd(
+    dpair_rows = _composite_pallas_bwd_rows(
         pair_data, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
         interpret,
     )
-    return dpair, None, None
+    # This boundary exposes dpair as a plain cotangent of [NF, P] pair data:
+    # mask the never-written tail garbage and transpose (slow — the fused
+    # tables path below avoids both; this path is for standalone use).
+    n_valid = tile_start[-1] + tile_count[-1]
+    valid = jnp.arange(dpair_rows.shape[0]) < n_valid
+    d = jnp.where(valid[:, None], dpair_rows[:, :NF], 0.0)
+    return d.T, None, None
 
 
 composite_pairs_pallas.defvjp(_cp_fwd, _cp_bwd)
 
 
-@jax.custom_vjp
-def _pack_with_tables(packed, pair_gauss, pair_valid,
-                      small_slots, big_slots, big_gauss, big_valid):
-    return pack_pairs(packed, pair_gauss, pair_valid)
-
-
-def _pwt_fwd(packed, pair_gauss, pair_valid,
-             small_slots, big_slots, big_gauss, big_valid):
-    out = pack_pairs(packed, pair_gauss, pair_valid)
-    return out, (small_slots, big_slots, big_gauss, big_valid)
-
-
-def _pwt_bwd(res, dpair):
-    """Reverse the pair-order gather via the per-gaussian slot tables.
+def _table_reduce(dpair_rows, small_slots, big_slots, big_gauss, big_valid):
+    """Per-pair row gradients -> per-gaussian [N, NF] via the slot tables.
 
     Two FLAT wide-row gathers (out-of-range SLOT_SENTINEL slots read as 0)
     followed by fixed-width reductions expressed as MXU matmuls with a
@@ -427,10 +433,7 @@ def _pwt_bwd(res, dpair):
     gather output) @ [D*NF, NF]. Measured ~10x cheaper than letting XLA fuse
     the D-axis sum into the gather, and ~25x cheaper than the P-sized
     scatter-add transpose the plain gather VJP would emit."""
-    small_slots, big_slots, big_gauss, big_valid = res
-    # dpair: [NF, Pbuf] -> row-major [Pbuf, NF] so slot gathers read
-    # contiguous 64-byte rows
-    dpair_rows = dpair.T
+    dpair_rows = dpair_rows[:, :NF]  # folds into the gathers' slice_sizes
     n, d1 = small_slots.shape
     big_cap, d2 = big_slots.shape
 
@@ -443,26 +446,64 @@ def _pwt_bwd(res, dpair):
     acc = block_sum(small_slots, n, d1)                  # [N, NF]
     big_sum = block_sum(big_slots, big_cap, d2)          # [big_cap, NF]
     big_sum = jnp.where(big_valid[:, None], big_sum, 0.0)
-    acc = acc.at[big_gauss].add(big_sum)
-    return (acc, None, None, None, None, None, None)
+    return acc.at[big_gauss].add(big_sum)
 
 
-_pack_with_tables.defvjp(_pwt_fwd, _pwt_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
+                      big_gauss, big_valid, tile_start, tile_count,
+                      cam, interpret):
+    """Fused pack + composite with the slot-table backward.
+
+    One differentiable unit from per-gaussian packed rows to tile outputs:
+    the backward kernel emits per-pair gradients ROW-major straight into the
+    slot-table reduction — no [NF, P] <-> [P, NF] HBM transpose anywhere
+    (that transpose alone cost ~45 ms at 2.25M pairs)."""
+    pair_data = pack_pairs(packed, pair_gauss, pair_valid)
+    return _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+                                 interpret)
+
+
+def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
+             big_gauss, big_valid, tile_start, tile_count, cam, interpret):
+    pair_data = pack_pairs(packed, pair_gauss, pair_valid)
+    acc, tfin = _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+                                      interpret)
+    res = (pair_data, acc, tfin, small_slots, big_slots, big_gauss,
+           big_valid, tile_start, tile_count)
+    return (acc, tfin), res
+
+
+def _cpk_bwd(cam, interpret, res, cts):
+    (pair_data, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
+     tile_start, tile_count) = res
+    dacc, dtfin = cts
+    dpair_rows = _composite_pallas_bwd_rows(
+        pair_data, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
+        interpret,
+    )
+    dpacked = _table_reduce(dpair_rows, small_slots, big_slots, big_gauss,
+                            big_valid)
+    return (dpacked, None, None, None, None, None, None, None, None)
+
+
+_composite_packed.defvjp(_cpk_fwd, _cpk_bwd)
 
 
 def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
                            interpret: bool = False):
     """Drop-in replacement for ops.composite.composite_tiles (pallas path)."""
     if bins.small_slots is not None:
-        pair_data = _pack_with_tables(
+        acc, tfin = _composite_packed(
             proj.packed, bins.pair_gauss, bins.pair_valid,
             bins.small_slots, bins.big_slots, bins.big_gauss, bins.big_valid,
+            bins.tile_start, bins.tile_count, cam, interpret,
         )
     else:
         pair_data = pack_pairs(proj.packed, bins.pair_gauss, bins.pair_valid)
-    acc, tfin = composite_pairs_pallas(
-        pair_data, bins.tile_start, bins.tile_count, cam, interpret
-    )
+        acc, tfin = composite_pairs_pallas(
+            pair_data, bins.tile_start, bins.tile_count, cam, interpret
+        )
     out = acc + tfin * bg[None, None, :]  # [T, PIX, NC]
     tiles_y, tiles_x = cam.tiles_y, cam.tiles_x
     img = out.reshape(tiles_y, tiles_x, TILE, TILE, NC)

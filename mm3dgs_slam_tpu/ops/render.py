@@ -122,10 +122,20 @@ def render(
     camera_pose: jnp.ndarray,
     rs: RenderSettings,
     bins: TileBins | None = None,
+    mesh=None,
 ):
     """Render the map from a pose. Returns the reference's render dict plus
-    the bins used (callers may cache them across optimizer iterations)."""
+    the bins used (callers may cache them across optimizer iterations).
+
+    With `mesh` (jax.sharding.Mesh), the map/projection is row-sharded over
+    the "gauss" axis and the projected attributes are constrained replicated
+    — the one ICI all-gather on the forward path (its transpose is the
+    reduce-scatter of per-gaussian gradients back to their home shards)."""
     proj = project_for_pose(g, camera_pose, rs)
+    if mesh is not None:
+        from ..parallel.sharded import replicate_proj
+
+        proj = replicate_proj(proj, mesh)
     bg = background(rs)
 
     if rs.use_oracle:

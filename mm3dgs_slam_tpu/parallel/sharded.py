@@ -57,13 +57,20 @@ def shard_map_state(m: GaussianMap, adam: AdamState, mesh: Mesh):
     )
 
 
-def _replicate_proj(proj, mesh: Mesh):
+def replicate_proj(proj, mesh: Mesh | None):
     """Force the projected attributes to be replicated: this is the ICI
-    all-gather boundary between gaussian-parallel and tile-parallel work."""
+    all-gather boundary between gaussian-parallel and tile-parallel work.
+    No-op when mesh is None (single-chip paths pay nothing)."""
+    if mesh is None:
+        return proj
     rep = NamedSharding(mesh, P())
     return proj._replace(
-        **{k: jax.lax.with_sharding_constraint(v, rep) for k, v in proj._asdict().items()}
+        **{k: jax.lax.with_sharding_constraint(v, rep)
+           for k, v in proj._asdict().items()}
     )
+
+
+_replicate_proj = replicate_proj  # backward-compat alias
 
 
 def sharded_render_loss(
@@ -78,7 +85,7 @@ def sharded_render_loss(
     m = GaussianMap(**params, n_alive=n_alive)
     g = m.activated()
     proj = project_for_pose(g, pose, rs)       # shard-local, elementwise
-    proj = _replicate_proj(proj, mesh)         # <- all-gather over ICI
+    proj = replicate_proj(proj, mesh)          # <- all-gather over ICI
     bins = build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian)
     img6 = composite_tiles(proj, bins, rs.cam, background(rs),
                            rs.max_per_tile, rs.chunk)

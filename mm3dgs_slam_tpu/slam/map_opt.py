@@ -63,6 +63,9 @@ class MapOptSettings(NamedTuple):
                                # exact parity; >1 pays off with a grouped
                                # schedule where consecutive iterations render
                                # the same keyframe)
+    mesh: object = None        # jax.sharding.Mesh: map rows sharded over
+                               # "gauss"; projection output replicated (the
+                               # ICI boundary); compositing replicated
 
 
 class MapCarry(NamedTuple):
@@ -82,9 +85,12 @@ class MapCarry(NamedTuple):
 def _bins_for(params: dict, n_alive, pose, ms: MapOptSettings):
     """Binning for a map snapshot + pose (non-differentiable selection)."""
     rs = ms.rs
+    from ..parallel.sharded import replicate_proj
+
     m = GaussianMap(**jax.tree.map(jax.lax.stop_gradient, params),
                     n_alive=n_alive)
     proj = project_for_pose(m.activated(), jax.lax.stop_gradient(pose), rs)
+    proj = replicate_proj(proj, ms.mesh)
     if rs.use_pallas:
         from ..ops.pallas_composite import CHUNK as _PL_CHUNK
 
@@ -109,15 +115,19 @@ def _map_loss(
     """Loss + aux (radii, visibility). Differentiable in (params,
     screen_offset, pose); n_alive rides separately (int leaves can't be
     grad arguments); bins are precomputed selection (cacheable)."""
+    from ..parallel.sharded import replicate_proj
+
     rs = ms.rs
     m = GaussianMap(**params, n_alive=n_alive)
     g = m.activated()
     proj = project_for_pose(g, pose, rs)
-    # keep the packed rows and the xy view consistent (pallas consumes packed)
+    # keep the packed rows and the xy view consistent (pallas consumes packed);
+    # the offset add runs shard-local BEFORE the replication boundary
     new_packed = jnp.concatenate(
         [proj.xy + screen_offset, proj.packed[:, 2:]], axis=1
     )
     proj = proj._replace(xy=new_packed[:, 0:2], packed=new_packed)
+    proj = replicate_proj(proj, ms.mesh)
     if rs.use_pallas:
         from ..ops.pallas_composite import composite_tiles_pallas
 

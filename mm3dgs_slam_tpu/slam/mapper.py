@@ -95,9 +95,10 @@ class KeyframeStore:
 
 
 class Mapper:
-    def __init__(self, cfg: dict, rs: RenderSettings):
+    def __init__(self, cfg: dict, rs: RenderSettings, mesh=None):
         self.cfg = cfg
         self.rs = rs
+        self.mesh = mesh
         self.cam = rs.cam
         mp = cfg["mapping"]
         self.num_iter = mp["iters"]
@@ -144,6 +145,7 @@ class Mapper:
             cam_q_lr=float(mp["cam_q_lr"]),
             hyper=G.MapOptHyper.from_cfg(mp),
             rebin_every=int(cfg["tpu"].get("map_rebin_every", 1)),
+            mesh=mesh,
         )
         self.window_size = int(mp["kf_window_size"])
         # Optional TPU-side divergence from the reference's interleaved
@@ -370,6 +372,10 @@ class Mapper:
             need = int(m.n_alive) + n_new
             if need > m.capacity:
                 m, adam = G.grow_capacity(m, adam, G.required_capacity(need))
+                if self.mesh is not None:
+                    from ..parallel.sharded import shard_map_state
+
+                    m, adam = shard_map_state(m, adam, self.mesh)
             m, adam, n_added = G.append_gaussians(m, adam, stats.candidates)
             self.last_n_added = int(n_added)
             new_vis_mask = np.asarray(stats.non_presence)

@@ -105,6 +105,20 @@ class SLAM:
             bin_big_frac=int(tpu["bin_big_frac"]),
         )
 
+        # Device mesh (tpu.mesh_devices > 1 row-shards the Gaussian map over
+        # the "gauss" ICI axis; see parallel/sharded.py for the design)
+        self.mesh = None
+        n_mesh = int(tpu.get("mesh_devices", 1))
+        if n_mesh > 1:
+            from ..parallel.mesh import make_mesh
+
+            if len(jax.devices()) < n_mesh:
+                raise ValueError(
+                    f"tpu.mesh_devices={n_mesh} but only "
+                    f"{len(jax.devices())} devices are visible"
+                )
+            self.mesh = make_mesh(n_mesh)
+
         # Map state
         self.gaussians = G.empty_map(G.CAP_QUANTUM, cfg["mapping"]["sh_degree"])
         self.estimate_pose_list = np.zeros((self.n_img, 7), np.float32)
@@ -116,6 +130,12 @@ class SLAM:
             self.load_checkpoint(cfg["iteration"])
 
         self.adam = G.init_adam(self.gaussians)
+        if self.mesh is not None:
+            from ..parallel.sharded import shard_map_state
+
+            self.gaussians, self.adam = shard_map_state(
+                self.gaussians, self.adam, self.mesh
+            )
 
         tr = cfg["tracking"]
         self.track_settings = TrackSettings(
@@ -131,10 +151,11 @@ class SLAM:
             position_lr=float(tr["position_lr"]),
             rotation_lr=float(tr["rotation_lr"]),
             rebin_every=int(tpu.get("rebin_every", 1)),
+            mesh=self.mesh,
         )
         self.dyn_model = (tr["dynamics_model"] or "").lower() or None
 
-        self.mapper = Mapper(cfg, self.rs)
+        self.mapper = Mapper(cfg, self.rs, mesh=self.mesh)
         if self._resume:
             self._restore_keyframes()
 

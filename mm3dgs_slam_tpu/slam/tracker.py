@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.losses import masked_mean, masked_sum, pearson_loss, rel_pose_loss
 from ..ops.render import ActivatedGaussians, RenderSettings, render
+from ..parallel.sharded import replicate_proj
 
 
 class TrackSettings(NamedTuple):
@@ -50,6 +51,11 @@ class TrackSettings(NamedTuple):
                                     # moves sub-pixel per Adam step so stale
                                     # bins only affect the (non-diff) pair
                                     # selection, not gradients
+    mesh: object = None             # jax.sharding.Mesh when the map is
+                                    # row-sharded (see parallel/sharded.py);
+                                    # projection output is constrained
+                                    # replicated (the ICI all-gather
+                                    # boundary), compositing runs replicated
 
 
 def tracking_loss(
@@ -62,7 +68,7 @@ def tracking_loss(
     ts: TrackSettings,
     bins=None,
 ) -> jnp.ndarray:
-    out = render(g, pose, ts.rs, bins=bins)
+    out = render(g, pose, ts.rs, bins=bins, mesh=ts.mesh)
     image = out["render"]
     depth = out["depth"][0]
     silhouette = out["depth"][1]
@@ -119,6 +125,7 @@ def track_frame(
 
     def make_bins(pose):
         proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
+        proj = replicate_proj(proj, ts.mesh)
         return build_bins(proj, rs.cam, rs.pair_cap,
                           rs.max_tiles_per_gaussian, align=align,
                           d1=rs.bin_d1, big_frac=rs.bin_big_frac)

@@ -203,18 +203,19 @@ def main():
 
     timeit("map Adam step", adam_fn, scales, args.reps)
 
-    # --- pack bwd isolation (via pack_with_tables grad) ----------------------
-    from mm3dgs_slam_tpu.ops.pallas_composite import _pack_with_tables
+    # --- fused pack+composite fwd+bwd (the production tables path) ----------
+    from mm3dgs_slam_tpu.ops.pallas_composite import _composite_packed
 
-    def ploss(packed, s):
-        pd = _pack_with_tables(packed * s, bins0.pair_gauss, bins0.pair_valid,
-                               bins0.small_slots, bins0.big_slots,
-                               bins0.big_gauss, bins0.big_valid)
-        return jnp.sum(pd * pd)
+    def closs(packed, s):
+        acc, tfin = _composite_packed(
+            packed * s, bins0.pair_gauss, bins0.pair_valid,
+            bins0.small_slots, bins0.big_slots, bins0.big_gauss,
+            bins0.big_valid, bins0.tile_start, bins0.tile_count, cam, False)
+        return jnp.sum(acc) + jnp.sum(tfin)
 
-    pgrad = jax.jit(jax.grad(ploss))
-    timeit("pack fwd+bwd (d/dpacked, tables)",
-           lambda s: pgrad(proj0.packed, s), scales, args.reps)
+    cgrad = jax.jit(jax.grad(closs))
+    timeit("fused pack+kernel fwd+bwd (d/dpacked)",
+           lambda s: cgrad(proj0.packed, s), scales, args.reps)
 
 
 if __name__ == "__main__":
