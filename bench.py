@@ -38,15 +38,22 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     m, cam = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
     adam = G.init_adam(m)
+    # Knobs sized to the scene's measured binning stats (53.8k gaussians
+    # cover >4 tiles, 17.0k cover >8, max rect 12) so NOTHING is silently
+    # truncated: d1=8 small tier + 18.7k-slot big tier at D2=16. The
+    # round-1 bench (d1=4, big_frac=16, D2=64) overflowed the big tier and
+    # quietly dropped ~45k gaussians; `overflow` is now asserted False.
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
-                        max_tiles_per_gaussian=64, use_pallas=on_tpu,
-                        bin_d1=4, bin_big_frac=16)
+                        max_tiles_per_gaussian=16, use_pallas=on_tpu,
+                        bin_d1=8, bin_big_frac=7)
 
     base_pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
     out = render(m.activated(), base_pose, rs)
     gt_color = jnp.clip(out["render"], 0, 1)
     gt_depth = out["depth"][0] / jnp.maximum(out["depth"][1], 1e-6)
     jax.block_until_ready(gt_color)
+    assert not bool(out["bins"].overflow), (
+        "bench scene overflows its binning caps — numbers would be fantasy")
 
     def jitters(n):
         return [base_pose.at[4].add(1e-3 * (i + 1)) for i in range(n)]

@@ -227,7 +227,9 @@ def build_bins(
         aligned_sizes = ((tile_count + align - 1) // align) * align
         aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
         P = pair_gauss.shape[0]
-        buf_cap = P + n_tiles * align
+        # +align tail pad: the kernel's cross-tile chunk-0 prefetch DMA may
+        # read one full chunk at the last (possibly empty) tile's start
+        buf_cap = P + n_tiles * align + align
         tile_of_pair = jnp.clip(pair_tile, 0, n_tiles - 1)
         delta = aligned_start - tile_start  # [n_tiles]
         target = jnp.where(

@@ -9,25 +9,38 @@ Replaces ops/composite.py's fixed-round scan with a real per-tile walk:
     pad every tile to max_per_tile), and the walk stops early once every
     pixel's transmittance saturates — the two wins a static-shape XLA
     program cannot express,
-  * within a chunk the sequential transmittance recursion is a Hillis-Steele
-    multiplicative scan along lanes; feature accumulation is a
-    [PIX, CHUNK] x [CHUNK, NC] MXU contraction,
+  * the within-chunk transmittance recursion runs in LOG space: the
+    sequential cumulative product is one [PIX, CHUNK] x [CHUNK, CHUNK]
+    upper-triangular matmul on the MXU (an inclusive segmented cumsum of
+    log2(1-alpha)), replacing a 7-stage Hillis-Steele lane scan whose
+    roll/select/mul trips dominated the VPU instruction count,
+  * feature accumulation is a [PIX, CHUNK] x [CHUNK, NC] MXU contraction,
+  * per-tile DMA latency is hidden by CROSS-PROGRAM prefetch: program t
+    starts tile t+1's first chunk DMA into a parity slot before walking its
+    own chunks (grid programs run sequentially on the TensorCore, scratch
+    and semaphores persist),
   * backward is analytic: the same walk replayed front-to-back with a prefix
     accumulator (the standard 3DGS gradient rearranged to avoid a
-    back-to-front pass) emits per-pair gradients; the surrounding jnp
-    gather's autodiff turns those into per-Gaussian scatter-adds.
+    back-to-front pass) emits per-pair gradients; it EARLY-EXITS at the same
+    saturation point as the forward (gradients past the stop are exactly
+    zero) and zero-fills the remaining slabs with buffer-reuse DMAs.
 
-Layout (dictated by Mosaic's lane-alignment rules): pair data is packed
-FIELD-MAJOR ``[16, PAIR_CAP + CHUNK]`` so a chunk DMA slices 128 aligned
-lanes; in-kernel arrays put the tile's 256 pixels on sublanes and the 128
-chunk pairs on lanes.
+Layout: pair data is FIELD-major ``[NF, buf_cap]`` (Mosaic DMA slices must
+be 128-aligned along the minor dim, so row-major [P, 16] slabs are
+illegal). The pack is one wide row gather straight out of projection's
+kernel-ready [N, 16] rows — invalid slots carry a sentinel gaussian id >= N
+and gather as zero rows via mode='fill' (no validity where-pass, no concat;
+the binning buffer carries the alignment tail pad) — plus one contiguous
+transpose.
 
 Field rows: 0 xy_x, 1 xy_y, 2:5 conic, 5 opacity, 6:12 features
 (rgb + z/sil/z^2).
 
 Semantics match ops/composite.py exactly (alpha clamp straight-through,
-1/255 skip, hard T < 1e-4 stop with frozen transmittance); tests cross-check
-all three compositors (oracle / XLA tiles / pallas).
+1/255 skip, hard T < 1e-4 stop with frozen transmittance); the log-space
+product differs from the sequential product only by float re-association
+(~1e-6 relative). Tests cross-check all three compositors (oracle / XLA
+tiles / pallas).
 """
 from __future__ import annotations
 
@@ -46,153 +59,208 @@ NF = 16             # packed pair fields (12 used + 4 pad; Mosaic DMA
                     # slices must be 8-aligned on sublanes, so 12 is illegal)
 NC = 6              # composited channels
 
+LOG2_STOP = -13.287712379549449   # log2(1e-4): the CUDA T<1e-4 stop rule
+_NEG = -1e30
 
-def pack_pairs(proj_packed, pair_gauss, pair_valid):
-    """Gather per-pair data into pair order, field-major [NF, CAP + CHUNK].
+
+def pack_pairs(proj_packed, pair_gauss, pair_valid=None):
+    """Gather per-pair data into pair order, field-major [NF, buf_cap].
 
     ONE wide row gather from the projection-time packed [N, 16] rows —
-    measured ~7x cheaper than four narrow per-field gathers on TPU. The
-    gather is the differentiable boundary: its VJP reduces the kernel's
-    per-pair gradients back to per-Gaussian [N, 16] gradients. Invalid
-    (padding) pairs are zeroed; CHUNK extra zero columns let the kernel DMA
-    full chunks without clamping.
-    """
-    rows = proj_packed[pair_gauss]                       # [P, NF]
-    rows = jnp.where(pair_valid[:, None], rows, 0.0)
-    data = rows.T                                        # [NF, P]
-    return jnp.concatenate(
-        [data, jnp.zeros((NF, CHUNK), data.dtype)], axis=1
-    )
+    measured ~7x cheaper than four narrow per-field gathers on TPU. Invalid
+    (padding) slots carry the sentinel gaussian id N in `pair_gauss`, which
+    is out of range for the [N, 16] table and gathers as an all-zero row
+    (mode='fill'), so no separate validity mask/where pass is needed
+    (`pair_valid` is accepted for API compatibility and unused)."""
+    del pair_valid
+    rows = proj_packed.at[pair_gauss].get(mode="fill", fill_value=0.0)
+    return rows.T
 
 
-def _scan_lanes(x, op, identity, col=None):
-    """Inclusive Hillis-Steele scan along lanes (axis 1)."""
-    n = x.shape[1]
-    if col is None:
-        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < n:
-        rolled = pltpu.roll(x, shift=s, axis=1)
-        x = op(x, jnp.where(col >= s, rolled, identity))
-        s *= 2
-    return x
+def _triu_ones():
+    """[CHUNK, CHUNK] upper-triangular (incl. diagonal) ones: the inclusive
+    lane-cumsum operator s @ U on the MXU."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r <= c).astype(jnp.float32)
 
 
-def _chunk_forward(data, pixf_x, pixf_y, base_rank, count, T_run, done):
-    """Shared per-chunk forward math.
+def _pix_basis():
+    """[PIX, 8] per-pixel quadratic basis in TILE-LOCAL coordinates:
+    [1, x, y, x^2, x*y, y^2, 0, 0] for x, y in [0, TILE). Tile-independent —
+    the tile origin is folded into the per-pair coefficients instead, which
+    also bounds the fp32 cancellation in the expanded quadratic (terms stay
+    O(radius^2 * conic) rather than O(image_width^2 * conic))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    x = (lane % TILE).astype(jnp.float32)
+    y = (lane // TILE).astype(jnp.float32)
+    one = jnp.ones((PIX, 1), jnp.float32)
+    zero = jnp.zeros((PIX, 1), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero],
+                           axis=1)
 
-    data: [NF, CHUNK] fields x pairs; pixf_*: [PIX, 1]; T_run/done: [PIX, 1].
-    Returns (w [PIX, CHUNK], T_new, done_new, alpha_raw, use, T_j, dx, dy).
-    """
-    xy_x = data[0:1, :]   # [1, CHUNK]
-    xy_y = data[1:2, :]
+
+def _power_coefs(data, ox, oy):
+    """Per-pair quadratic coefficients [8, CHUNK] such that
+    power = basis @ coefs reproduces -0.5 conic (p - xy)^2 exactly:
+    the EWA exponent is degree-2 in the pixel, so the whole [PIX, CHUNK]
+    evaluation is ONE MXU matmul instead of 7 VPU passes. (ox, oy) is the
+    tile origin (scalars); all coefficient math is [1, CHUNK] rows."""
+    xl = data[0:1, :] - ox
+    yl = data[1:2, :] - oy
     c0 = data[2:3, :]
     c1 = data[3:4, :]
     c2 = data[4:5, :]
+    a = -0.5 * (c0 * xl * xl + c2 * yl * yl) - c1 * xl * yl
+    b = c0 * xl + c1 * yl
+    c = c2 * yl + c1 * xl
+    zero = jnp.zeros_like(xl)
+    return jnp.concatenate(
+        [a, b, c, -0.5 * c0, -c1, -0.5 * c2, zero, zero], axis=0
+    ), xl, yl
+
+
+def _chunk_forward(data, basis, ox, oy, logT, done, triu):
+    """Shared per-chunk forward math, transmittance in log2 space.
+
+    data: [NF, CHUNK] field-major slab; basis: [PIX, 8] (see _pix_basis);
+    (ox, oy): tile-origin scalars; logT/done: [PIX, 1]. Returns
+    (w [PIX, CHUNK], logT_new, done_new, alpha_raw, use, T_j, xl, yl,
+    feat [NC, CHUNK]).
+
+    Out-of-segment padding slots need no rank test: their pair rows gather
+    as all-zero (sentinel fill), so op = 0 kills `contribute` by itself.
+    """
     op = data[5:6, :]
-    dx = xy_x - pixf_x    # [PIX, CHUNK]
-    dy = xy_y - pixf_y
-    power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
+    feat = data[6:6 + NC, :]
+    coefs, xl, yl = _power_coefs(data, ox, oy)
+    power = jax.lax.dot(basis, coefs, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [PIX, CHUNK]
     alpha_raw = op * jnp.exp(power)
     alpha = jnp.minimum(alpha_raw, 0.99)
-    col = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
-    rank = base_rank + col
-    contribute = (power <= 0.0) & (alpha >= 1.0 / 255.0) & (rank < count)
+    contribute = (power <= 0.0) & (alpha >= 1.0 / 255.0)
     alpha = jnp.where(contribute, alpha, 0.0)
 
+    # log-space transmittance: s = log2(1-alpha) in [log2(0.01), 0];
+    # inclusive cumsum along lanes as ONE MXU matmul (vs a 7-stage
+    # roll/select/mul Hillis-Steele scan). The TPU's log2 approximation has
+    # ~3.5e-4 max relative error (measured; exp2 is ~5e-6), which would
+    # accumulate to percent-level T errors over a tile — one Newton step
+    # against the accurate exp2 brings s to ~fp32 accuracy:
+    #   s <- s0 + (y - 2^s0) / (2^s0 * ln 2).
     one_m = 1.0 - alpha
-    cp_incl = _scan_lanes(one_m, jax.lax.mul, 1.0, col=col)
-    excl = jnp.where(col >= 1, pltpu.roll(cp_incl, shift=1, axis=1), 1.0)
-    T_j = T_run * excl
+    s0 = jnp.log2(one_m)
+    e0 = jnp.exp2(s0)
+    s = s0 + (one_m - e0) / (e0 * 0.6931471805599453)
+    s = jnp.where(alpha > 0.0, s, 0.0)  # padding lanes: exactly no-op
+    incl = jax.lax.dot(s, triu, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    lT_incl = logT + incl
+    lT_excl = lT_incl - s
+    T_j = jnp.exp2(lT_excl)
     # CUDA stop rule: pair j contributes unless some k <= j (with alpha_k>0)
-    # drove T*(1-alpha) below 1e-4. T_run*cp_incl_j IS that inclusive test
-    # value and is monotone non-increasing along j (factors <= 1, and only
-    # alpha>0 pairs shrink it), so "stopped at or before j" == below_j — no
-    # second scan needed. frozen_T = T at the first crossing = max of the
-    # (monotone decreasing) exclusive T over the below region.
-    below = (T_run * cp_incl < 1e-4).astype(jnp.float32)
-    use = (alpha > 0.0) & (done < 1.0) & (below < 1.0)
+    # drove T*(1-alpha) below 1e-4. lT_incl IS that inclusive test value in
+    # log space and is monotone non-increasing along j, so "stopped at or
+    # before j" == below_j. frozen_T = T at the first crossing = max of the
+    # (monotone decreasing) exclusive log-T over the below region.
+    below = lT_incl < LOG2_STOP
+    use = (alpha > 0.0) & (done < 1.0) & (~below)
     w = jnp.where(use, alpha * T_j, 0.0)
 
     any_stop = below[:, CHUNK - 1:CHUNK]
-    frozen_T = jnp.max(T_j * below, axis=1, keepdims=True)
-    T_cont = T_run * cp_incl[:, CHUNK - 1:CHUNK]
-    T_new = jnp.where(done >= 1.0, T_run,
-                      jnp.where(any_stop >= 1.0, frozen_T, T_cont))
-    done_new = jnp.maximum(done, any_stop)
-    return w, T_new, done_new, alpha_raw, use, T_j, dx, dy
+    frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1, keepdims=True)
+    logT_new = jnp.where(done >= 1.0, logT,
+                         jnp.where(any_stop, frozen,
+                                   lT_incl[:, CHUNK - 1:CHUNK]))
+    done_new = jnp.maximum(done, any_stop.astype(jnp.float32))
+    return w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat
 
 
-def _tile_pix(t, tiles_x):
+def _tile_origin(t, tiles_x):
     ty = t // tiles_x
     tx = t - ty * tiles_x
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    pixf_x = (tx * TILE + lane % TILE).astype(jnp.float32)
-    pixf_y = (ty * TILE + lane // TILE).astype(jnp.float32)
-    return pixf_x, pixf_y
+    return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
 
 
 def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
-                buf, sem, *, tiles_x: int):
-    """Double-buffered walk: chunk ci+1's DMA is in flight while ci computes."""
+                buf, sem, *, tiles_x: int, n_tiles: int):
+    """Double-buffered walk (slots 0/1) + cross-program chunk-0 prefetch
+    (parity slots 2/3): chunk ci+1's DMA is in flight while ci computes, and
+    tile t+1's first chunk is in flight while tile t walks."""
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    pixf_x, pixf_y = _tile_pix(t, tiles_x)
+    ox, oy = _tile_origin(t, tiles_x)
     n_chunks = pl.cdiv(count, CHUNK)
+    triu = _triu_ones()
+    basis = _pix_basis()
 
-    def dma(ci, slot):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+    def dma(off_pairs, slot):
+        off = pl.multiple_of(off_pairs, CHUNK)
         return pltpu.make_async_copy(
             pair_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot]
         )
 
-    @pl.when(n_chunks > 0)
+    pf = 2 + jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        dma(start, pf).start()
+
+    dma(start, pf).wait()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        dma(tile_start_ref[t + 1], 2 + jax.lax.rem(t + 1, 2)).start()
 
     def cond(carry):
-        ci, T_run, done, acc = carry
+        ci, logT, done, acc = carry
         return (ci < n_chunks) & (jnp.min(done) < 1.0)
 
     def body(carry):
-        ci, T_run, done, acc = carry
+        ci, logT, done, acc = carry
         slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
         def _():
-            dma(ci + 1, 1 - slot).start()
+            dma(start + (ci + 1) * CHUNK, 1 - slot).start()
 
-        dma(ci, slot).wait()
-        data = buf[slot]
-        w, T_new, done_new, _, _, _, _, _ = _chunk_forward(
-            data, pixf_x, pixf_y, ci * CHUNK, count, T_run, done
+        @pl.when(ci > 0)
+        def _():
+            dma(start + ci * CHUNK, slot).wait()
+
+        data = buf[jnp.where(ci == 0, pf, slot)]
+        w, logT, done, _, _, _, _, _, feat = _chunk_forward(
+            data, basis, ox, oy, logT, done, triu
         )
-        feat = data[6:6 + NC, :]  # [NC, CHUNK]
         acc = acc + jax.lax.dot_general(
             w, feat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [PIX, NC]
-        return ci + 1, T_new, done_new, acc
+        return ci + 1, logT, done, acc
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
+    logT0 = jnp.zeros((PIX, 1), jnp.float32)
     done0 = jnp.zeros((PIX, 1), jnp.float32)
     acc0 = jnp.zeros((PIX, NC), jnp.float32)
-    ci_fin, T_fin, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    ci_fin, logT_fin, _, acc = jax.lax.while_loop(
+        cond, body, (0, logT0, done0, acc0)
+    )
     # drain the prefetched-but-unconsumed DMA after an early exit
     @pl.when((ci_fin < n_chunks) & (ci_fin > 0))
     def _():
-        dma(ci_fin, jax.lax.rem(ci_fin, 2)).wait()
+        dma(start + ci_fin * CHUNK, jax.lax.rem(ci_fin, 2)).wait()
 
     acc_ref[0, :, :] = acc
-    tfin_ref[0, :, :] = T_fin
+    tfin_ref[0, :, :] = jnp.exp2(logT_fin)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret"))
-def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
+def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
                           interpret: bool = False):
     n_tiles = cam.n_tiles
-    kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x)
+    kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x,
+                               n_tiles=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -204,8 +272,8 @@ def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NF, CHUNK), jnp.float32),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, NF, CHUNK), jnp.float32),  # 0/1 walk, 2/3 prefetch
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     acc, tfin = pl.pallas_call(
@@ -215,18 +283,23 @@ def _composite_pallas_fwd(pair_data, tile_start, tile_count, cam: Camera,
             jax.ShapeDtypeStruct((n_tiles, PIX, NC), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, PIX, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(tile_start, tile_count, pair_data)
+    )(tile_start, tile_count, pair_rows)
     return acc, tfin
 
 
 def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
-                acc_ref, tfin_ref, dpair_hbm, buf, dpair_buf, sems,
-                *, tiles_x: int):
+                acc_ref, tfin_ref, dpair_hbm, buf, dpair_buf, sems, osems,
+                *, tiles_x: int, n_tiles: int):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    pixf_x, pixf_y = _tile_pix(t, tiles_x)
+    ox, oy = _tile_origin(t, tiles_x)
+    triu = _triu_ones()
+    basis = _pix_basis()
 
     dC = dacc_ref[0]          # [PIX, NC]  (VMEM-blocked input)
     dT_fin = dtfin_ref[0]     # [PIX, 1]
@@ -236,51 +309,69 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
 
     n_chunks = pl.cdiv(count, CHUNK)
 
-    def dma_in(ci, slot):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+    def dma_in(off_pairs, slot):
+        off = pl.multiple_of(off_pairs, CHUNK)
         return pltpu.make_async_copy(
             pair_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot]
         )
 
-    def dma_out(ci, slot):
+    def dma_out(ci, buf_slot, sem_slot):
         off = pl.multiple_of(start + ci * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            dpair_buf.at[slot], dpair_hbm.at[pl.ds(off, CHUNK), :],
-            sems.at[2 + slot]
+            dpair_buf.at[buf_slot], dpair_hbm.at[:, pl.ds(off, CHUNK)],
+            osems.at[sem_slot]
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_in(0, 0).start()
+    pf = 2 + jax.lax.rem(t, 2)
 
-    def body(ci, carry):
-        T_run, done, A_pref = carry
+    @pl.when(t == 0)
+    def _():
+        dma_in(start, pf).start()
+
+    dma_in(start, pf).wait()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        dma_in(tile_start_ref[t + 1], 2 + jax.lax.rem(t + 1, 2)).start()
+
+    def cond(carry):
+        ci, logT, done, A_pref = carry
+        return (ci < n_chunks) & (jnp.min(done) < 1.0)
+
+    def body(carry):
+        ci, logT, done, A_pref = carry
         slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
         def _():
-            dma_in(ci + 1, 1 - slot).start()
+            dma_in(start + (ci + 1) * CHUNK, 1 - slot).start()
 
-        dma_in(ci, slot).wait()
-        data = buf[slot]
-        w, T_new, done_new, alpha_raw, use, T_j, dx, dy = _chunk_forward(
-            data, pixf_x, pixf_y, ci * CHUNK, count, T_run, done
+        @pl.when(ci > 0)
+        def _():
+            dma_in(start + ci * CHUNK, slot).wait()
+
+        data = buf[jnp.where(ci == 0, pf, slot)]
+        w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat = (
+            _chunk_forward(data, basis, ox, oy, logT, done, triu)
         )
-        feat = data[6:6 + NC, :]  # [NC, CHUNK]
         one_m = jnp.where(use, 1.0 - jnp.minimum(alpha_raw, 0.99), 1.0)
 
         # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
         dfeat = jax.lax.dot_general(
             dC, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # (feat_j . dC_p) -> [PIX, CHUNK]
         fdc = jax.lax.dot_general(
             dC, feat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         r = w * fdc
-        r_incl = _scan_lanes(r, jax.lax.add, 0.0)
+        # inclusive lane cumsum as one MXU matmul (replaces the add-scan)
+        r_incl = jax.lax.dot(r, triu, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
 
         inv_onem = 1.0 / one_m
@@ -288,72 +379,120 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
         dalpha = jnp.where(use, dalpha, 0.0)
 
         op = data[5:6, :]
-        G = jnp.where(op > 0, alpha_raw / jnp.where(op > 0, op, 1.0), 0.0)
-        dop = jnp.sum(G * dalpha, axis=0, keepdims=True)   # [1, CHUNK]
         dpower = alpha_raw * dalpha
+        # All six per-pair reductions over PIX collapse into ONE MXU matmul
+        # against the quadratic pixel basis: with S = basis^T @ dpower the
+        # moment rows are [S1, Sx, Sy, Sxx, Sxy, Syy] and every gradient of
+        # the EWA exponent is [1, CHUNK] row algebra in those moments
+        # (dx = xl - px, so e.g. sum dx*dpower = xl*S1 - Sx). dop is free:
+        # G*dalpha = (alpha_raw/op)*dalpha = dpower/op, so dop = S1/op.
+        S = jax.lax.dot_general(
+            basis, dpower, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [8, CHUNK]
+        S1 = S[0:1, :]
+        Sx = S[1:2, :]
+        Sy = S[2:3, :]
+        Sxx = S[3:4, :]
+        Sxy = S[4:5, :]
+        Syy = S[5:6, :]
+        dop = jnp.where(op > 0, S1 / jnp.where(op > 0, op, 1.0), 0.0)
         c0 = data[2:3, :]
         c1 = data[3:4, :]
         c2 = data[4:5, :]
-        dxy_x = jnp.sum(-(c0 * dx + c1 * dy) * dpower, axis=0, keepdims=True)
-        dxy_y = jnp.sum(-(c2 * dy + c1 * dx) * dpower, axis=0, keepdims=True)
-        dc0 = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
-        dc1 = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
-        dc2 = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
+        mx = xl * S1 - Sx            # sum dx * dpower
+        my = yl * S1 - Sy            # sum dy * dpower
+        dxy_x = -(c0 * mx + c1 * my)
+        dxy_y = -(c2 * my + c1 * mx)
+        dc0 = -0.5 * (xl * xl * S1 - 2.0 * xl * Sx + Sxx)
+        dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
+        dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
 
         # double-buffered write-back: before reusing this slot (written two
         # iterations ago), drain its in-flight output DMA
         @pl.when(ci >= 2)
         def _():
-            dma_out(ci - 2, slot).wait()
+            dma_out(ci - 2, slot, slot).wait()
 
         zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
-        block = jnp.concatenate(
+        # emit FIELD-major [NF, CHUNK] — no in-VMEM transpose, no lane pad,
+        # 8x less HBM write traffic than a 128-lane-padded row-major slab;
+        # the consumer pays one barriered [NF, P] -> [P, NF] HBM transpose
+        # instead (bandwidth-bound).
+        dpair_buf[slot] = jnp.concatenate(
             [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
         )
-        # emit ROW-major [CHUNK, 128]: the in-VMEM [16,128] transpose is a
-        # few tile shuffles, vs ~45 ms for XLA to materialize the
-        # [NF, P] -> [P, NF] transpose in HBM that the slot-table gathers
-        # would otherwise need. Rows are padded NF -> 128 lanes because
-        # Mosaic VMEM slices must be 128-aligned on the lane dim (HBM only
-        # pays 8x on this scratch buffer's traffic, ~0.5 ms).
-        dpair_buf[slot] = jnp.concatenate(
-            [block.T, jnp.zeros((CHUNK, 128 - NF), jnp.float32)], axis=1
-        )
-        dma_out(ci, slot).start()
+        dma_out(ci, slot, slot).start()
 
         A_new = A_pref + r_incl[:, CHUNK - 1:CHUNK]
-        return T_new, done_new, A_new
+        return ci + 1, logT_new, done_new, A_new
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
+    logT0 = jnp.zeros((PIX, 1), jnp.float32)
     done0 = jnp.zeros((PIX, 1), jnp.float32)
     A0 = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (T0, done0, A0))
+    ci_fin, _, _, _ = jax.lax.while_loop(cond, body, (0, logT0, done0, A0))
 
-    # drain the trailing output DMAs (programs run sequentially over tiles,
-    # and the next tile reuses the same slots)
-    @pl.when(n_chunks >= 2)
+    # drain the prefetched-but-unconsumed input DMA after an early exit
+    @pl.when((ci_fin < n_chunks) & (ci_fin > 0))
     def _():
-        dma_out(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
+        dma_in(start + ci_fin * CHUNK, jax.lax.rem(ci_fin, 2)).wait()
 
-    @pl.when(n_chunks >= 1)
+    # drain the trailing output DMAs (the zero-fill below and the next tile
+    # reuse the same slots/semaphores)
+    @pl.when(ci_fin >= 2)
     def _():
-        dma_out(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
+        dma_out(ci_fin - 2, jax.lax.rem(ci_fin - 2, 2),
+                jax.lax.rem(ci_fin - 2, 2)).wait()
+
+    @pl.when(ci_fin >= 1)
+    def _():
+        dma_out(ci_fin - 1, jax.lax.rem(ci_fin - 1, 2),
+                jax.lax.rem(ci_fin - 1, 2)).wait()
+
+    # Early exit (all pixels saturated): gradients for the remaining pairs
+    # are exactly zero (use=False => w=0, dalpha=0, dfeat = dC.w = 0), but
+    # the slot-table reduction gathers those slots, so their slabs must be
+    # ZEROED, not skipped. One zeroed buffer, overlapped writes on the two
+    # output semaphores.
+    n_rest = n_chunks - ci_fin
+
+    @pl.when(n_rest > 0)
+    def _():
+        dpair_buf[0] = jnp.zeros((NF, CHUNK), jnp.float32)
+
+        def zbody(j, _):
+            @pl.when(j >= 2)
+            def _():
+                dma_out(ci_fin + j - 2, 0, jax.lax.rem(j, 2)).wait()
+
+            dma_out(ci_fin + j, 0, jax.lax.rem(j, 2)).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_rest, zbody, 0)
+
+        @pl.when(n_rest >= 2)
+        def _():
+            dma_out(ci_fin + n_rest - 2, 0, jax.lax.rem(n_rest - 2, 2)).wait()
+
+        dma_out(ci_fin + n_rest - 1, 0, jax.lax.rem(n_rest - 1, 2)).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret"))
-def _composite_pallas_bwd_rows(pair_data, tile_start, tile_count, acc, tfin,
+def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
                                dacc, dtfin, cam: Camera,
                                interpret: bool = False):
-    """Backward kernel: per-pair gradients in ROW-major [padded_cap, 128]
-    (columns NF: are zero pad — Mosaic lane alignment)."""
+    """Backward kernel: per-pair gradients FIELD-major [NF, padded_cap]
+    (same layout as the pair input)."""
     n_tiles = cam.n_tiles
-    padded_cap = pair_data.shape[1]
-    kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x)
+    padded_cap = pair_rows.shape[1]
+    kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x,
+                               n_tiles=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair data
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair rows
             pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),             # dacc
             pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
@@ -365,83 +504,91 @@ def _composite_pallas_bwd_rows(pair_data, tile_start, tile_count, acc, tfin,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NF, CHUNK), jnp.float32),   # pair in double-buffer
-            pltpu.VMEM((2, CHUNK, 128), jnp.float32),  # dpair out (row-major)
-            pltpu.SemaphoreType.DMA((4,)),             # 2 in + 2 out
+            pltpu.VMEM((4, NF, CHUNK), jnp.float32),   # 0/1 walk, 2/3 prefetch
+            pltpu.VMEM((2, NF, CHUNK), jnp.float32),   # dpair out (field-major)
+            pltpu.SemaphoreType.DMA((4,)),             # input walk + prefetch
+            pltpu.SemaphoreType.DMA((2,)),             # output double-buffer
         ],
     )
-    dpair_rows = pl.pallas_call(
+    dpair_fm = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((padded_cap, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NF, padded_cap), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_count, pair_data, dacc, dtfin, acc, tfin)
-    # Rows beyond the last tile's aligned end are never kernel-written and
-    # hold garbage — fine for the slot-table consumers (tables only index
-    # kernel-written slots; invalid candidates carry SLOT_SENTINEL, which
-    # the fill-mode gather zeroes). Callers that expose dpair as a plain
-    # cotangent must mask + transpose (see composite_pairs_pallas).
-    return dpair_rows
+    )(tile_start, tile_count, pair_rows, dacc, dtfin, acc, tfin)
+    # Columns beyond the last tile's aligned end are never kernel-written
+    # and hold garbage — fine for the slot-table consumers (tables only
+    # index kernel-written slots; invalid candidates carry SLOT_SENTINEL,
+    # which the fill-mode gather zeroes). Callers that expose dpair as a
+    # plain cotangent must mask (see composite_pairs_pallas).
+    return dpair_fm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def composite_pairs_pallas(pair_data, tile_start, tile_count, cam: Camera,
+def composite_pairs_pallas(pair_rows, tile_start, tile_count, cam: Camera,
                            interpret: bool = False):
-    """Differentiable pallas composite over packed pair data.
+    """Differentiable pallas composite over field-major packed pair data
+    [NF, buf_cap].
 
     Returns (acc [n_tiles, PIX, NC], t_fin [n_tiles, PIX, 1]); background
     and image assembly happen in jnp outside.
     """
-    return _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+    return _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
                                  interpret)
 
 
-def _cp_fwd(pair_data, tile_start, tile_count, cam, interpret):
-    acc, tfin = _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+def _cp_fwd(pair_rows, tile_start, tile_count, cam, interpret):
+    acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
                                       interpret)
-    return (acc, tfin), (pair_data, tile_start, tile_count, acc, tfin)
+    return (acc, tfin), (pair_rows, tile_start, tile_count, acc, tfin)
 
 
 def _cp_bwd(cam, interpret, res, cts):
-    pair_data, tile_start, tile_count, acc, tfin = res
+    pair_rows, tile_start, tile_count, acc, tfin = res
     dacc, dtfin = cts
-    dpair_rows = _composite_pallas_bwd_rows(
-        pair_data, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
+    dpair_fm = _composite_pallas_bwd_rows(
+        pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
         interpret,
     )
     # This boundary exposes dpair as a plain cotangent of [NF, P] pair data:
-    # mask the never-written tail garbage and transpose (slow — the fused
-    # tables path below avoids both; this path is for standalone use).
+    # mask the never-written tail garbage (the fused tables path below
+    # masks via the slot tables instead; this path is for standalone use).
     n_valid = tile_start[-1] + tile_count[-1]
-    valid = jnp.arange(dpair_rows.shape[0]) < n_valid
-    d = jnp.where(valid[:, None], dpair_rows[:, :NF], 0.0)
-    return d.T, None, None
+    valid = jnp.arange(dpair_fm.shape[1]) < n_valid
+    return jnp.where(valid[None, :], dpair_fm, 0.0), None, None
 
 
 composite_pairs_pallas.defvjp(_cp_fwd, _cp_bwd)
 
 
-def _table_reduce(dpair_rows, small_slots, big_slots, big_gauss, big_valid):
+def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid):
     """Per-pair row gradients -> per-gaussian [N, NF] via the slot tables.
 
     Two FLAT wide-row gathers (out-of-range SLOT_SENTINEL slots read as 0)
-    followed by fixed-width reductions expressed as MXU matmuls with a
-    constant block-sum matrix: [N, D*NF] (a free reshape of the contiguous
-    gather output) @ [D*NF, NF]. Measured ~10x cheaper than letting XLA fuse
-    the D-axis sum into the gather, and ~25x cheaper than the P-sized
-    scatter-add transpose the plain gather VJP would emit."""
-    dpair_rows = dpair_rows[:, :NF]  # folds into the gathers' slice_sizes
+    and a fixed-width D-axis sum. Fusion control is the whole game here
+    (measured on v5e):
+      * the kernel's field-major [NF, P] output is transposed to row-major
+        behind an optimization barrier (a bare HBM transpose is
+        bandwidth-bound; fused or strided-source gathers are pathological),
+      * the gather result is barriered too, then reduced with a plain
+        reshape+sum — fusing the reduction (or a HIGHEST-precision block-sum
+        matmul, which re-reads its fused operand once per pass) back into
+        the gather re-executes the gather per output element,
+      * clip-mode gathers are ~25x slower than fill-mode on this backend;
+        never use plain `x[idx]` at this scale.
+    ~25x cheaper than the P-sized scatter-add transpose the plain gather
+    VJP would emit."""
+    dpair16 = jax.lax.optimization_barrier(dpair_fm.T)
     n, d1 = small_slots.shape
     big_cap, d2 = big_slots.shape
 
     def block_sum(slots, rows, d):
-        g = dpair_rows.at[slots.reshape(-1)].get(mode="fill", fill_value=0.0)
-        summat = jnp.concatenate([jnp.eye(NF, dtype=g.dtype)] * d, axis=0)
-        return jax.lax.dot(g.reshape(rows, d * NF), summat,
-                           precision=jax.lax.Precision.HIGHEST)
+        g = dpair16.at[slots.reshape(-1)].get(mode="fill", fill_value=0.0)
+        g = jax.lax.optimization_barrier(g)
+        return g.reshape(rows, d, NF).sum(axis=1)
 
     acc = block_sum(small_slots, n, d1)                  # [N, NF]
     big_sum = block_sum(big_slots, big_cap, d2)          # [big_cap, NF]
@@ -459,30 +606,30 @@ def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
     the backward kernel emits per-pair gradients ROW-major straight into the
     slot-table reduction — no [NF, P] <-> [P, NF] HBM transpose anywhere
     (that transpose alone cost ~45 ms at 2.25M pairs)."""
-    pair_data = pack_pairs(packed, pair_gauss, pair_valid)
-    return _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+    pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
+    return _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
                                  interpret)
 
 
 def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
              big_gauss, big_valid, tile_start, tile_count, cam, interpret):
-    pair_data = pack_pairs(packed, pair_gauss, pair_valid)
-    acc, tfin = _composite_pallas_fwd(pair_data, tile_start, tile_count, cam,
+    pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
+    acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
                                       interpret)
-    res = (pair_data, acc, tfin, small_slots, big_slots, big_gauss,
+    res = (pair_rows, acc, tfin, small_slots, big_slots, big_gauss,
            big_valid, tile_start, tile_count)
     return (acc, tfin), res
 
 
 def _cpk_bwd(cam, interpret, res, cts):
-    (pair_data, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
+    (pair_rows, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
      tile_start, tile_count) = res
     dacc, dtfin = cts
-    dpair_rows = _composite_pallas_bwd_rows(
-        pair_data, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
+    dpair_fm = _composite_pallas_bwd_rows(
+        pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
         interpret,
     )
-    dpacked = _table_reduce(dpair_rows, small_slots, big_slots, big_gauss,
+    dpacked = _table_reduce(dpair_fm, small_slots, big_slots, big_gauss,
                             big_valid)
     return (dpacked, None, None, None, None, None, None, None, None)
 
@@ -500,9 +647,9 @@ def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
             bins.tile_start, bins.tile_count, cam, interpret,
         )
     else:
-        pair_data = pack_pairs(proj.packed, bins.pair_gauss, bins.pair_valid)
+        pair_rows = pack_pairs(proj.packed, bins.pair_gauss, bins.pair_valid)
         acc, tfin = composite_pairs_pallas(
-            pair_data, bins.tile_start, bins.tile_count, cam, interpret
+            pair_rows, bins.tile_start, bins.tile_count, cam, interpret
         )
     out = acc + tfin * bg[None, None, :]  # [T, PIX, NC]
     tiles_y, tiles_x = cam.tiles_y, cam.tiles_x
