@@ -1,9 +1,19 @@
-"""Jitted map optimization: the mapper's inner loop as one `lax.fori_loop`.
+"""Jitted map optimization: the mapper's inner loop as segmented dispatches.
 
 TPU rebuild of optimize_map (slam/mapper.py:718-950). Per iteration:
 render the scheduled keyframe -> (1-lambda)*L1 + lambda*(1-SSIM)
 [+ Pearson depth] -> grads -> functional Adam over the Gaussian-map pytree
 (+ keyframe poses when BA is on).
+
+Loop structure (v5e-measured): the round-1 single-dispatch flat
+`lax.fori_loop` carried the bins pytree through a rebin `lax.cond`, which
+cost ~36 ms/iter of pure structure overhead (scripts/profile_loop.py).
+Here the host splits the schedule into SEGMENTS — contiguous runs on one
+keyframe, cut at rebin cadence and at prune iterations — and dispatches one
+jitted segment per run with the bins built once as a loop invariant.
+Segments run as a binary decomposition over power-of-two lengths so the
+whole mapper needs at most ~7 distinct jit shapes. Dispatches enqueue
+back-to-back with no host syncs.
 
 Reproduced reference semantics, including the quirks:
   * the keyframe "stack" sampling is precomputed on the host into a static
@@ -16,9 +26,12 @@ Reproduced reference semantics, including the quirks:
     i % pruning_interval == 0 (mapper.py:900-909); because the reference
     swaps torch parameter objects during prune, the grads computed that
     iteration are orphaned and the map Adam step is a NO-OP on prune
-    iterations (torch skips params with grad=None) — we skip it likewise,
+    iterations (torch skips params with grad=None) — we skip it likewise
+    (the prune step is its own jitted dispatch, not an in-loop cond),
   * on BA iterations gradients of non-covisible Gaussians are zeroed
-    (mapper.py:931-936) and the per-keyframe pose Adam steps afterwards.
+    (mapper.py:931-936) and the per-keyframe pose Adam steps afterwards;
+    BA moves poses every iteration, so BA segments have length 1 (bins
+    refresh per iteration, as the reference implicitly re-sorts per call).
 """
 from __future__ import annotations
 
@@ -27,6 +40,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gaussians import (
     AdamState,
@@ -40,6 +54,8 @@ from ..ops.binning import build_bins
 from ..ops.composite import composite_tiles
 from ..ops.losses import l1_loss, masked_mean, pearson_loss, ssim
 from ..ops.render import RenderSettings, background, project_for_pose
+
+_SEG_SIZES = (32, 16, 8, 4, 2, 1)  # binary decomposition of segment lengths
 
 
 class MapOptSettings(NamedTuple):
@@ -59,10 +75,11 @@ class MapOptSettings(NamedTuple):
     cam_t_lr: float = 0.001
     cam_q_lr: float = 0.003
     hyper: MapOptHyper = None  # per-group map LRs
-    rebin_every: int = 1       # binning refresh cadence (1 = every iteration,
-                               # exact parity; >1 pays off with a grouped
-                               # schedule where consecutive iterations render
-                               # the same keyframe)
+    rebin_every: int = 1       # binning refresh cadence within a keyframe
+                               # run (1 = every iteration, exact parity;
+                               # >1 pays off with a grouped schedule where
+                               # consecutive iterations render the same
+                               # keyframe)
     mesh: object = None        # jax.sharding.Mesh: map rows sharded over
                                # "gauss"; projection output replicated (the
                                # ICI boundary); compositing replicated
@@ -80,25 +97,6 @@ class MapCarry(NamedTuple):
     pose_v: jnp.ndarray          # [K, 7]
     pose_step: jnp.ndarray       # [] int32
     last_loss: jnp.ndarray       # [] f32
-
-
-def _bins_for(params: dict, n_alive, pose, ms: MapOptSettings):
-    """Binning for a map snapshot + pose (non-differentiable selection)."""
-    rs = ms.rs
-    from ..parallel.sharded import replicate_proj
-
-    m = GaussianMap(**jax.tree.map(jax.lax.stop_gradient, params),
-                    n_alive=n_alive)
-    proj = project_for_pose(m.activated(), jax.lax.stop_gradient(pose), rs)
-    proj = replicate_proj(proj, ms.mesh)
-    if rs.use_pallas:
-        from ..ops.pallas_composite import CHUNK as _PL_CHUNK
-
-        return build_bins(proj, rs.cam, rs.pair_cap,
-                          rs.max_tiles_per_gaussian, align=_PL_CHUNK,
-                          d1=rs.bin_d1, big_frac=rs.bin_big_frac)
-    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                      d1=rs.bin_d1, big_frac=rs.bin_big_frac)
 
 
 def _map_loss(
@@ -160,139 +158,223 @@ def _map_loss(
 
 
 @partial(jax.jit, static_argnames=("ms",))
+def _map_bins(carry: MapCarry, k: jnp.ndarray, ms: MapOptSettings):
+    """Binning for the current map snapshot + keyframe pose (selection)."""
+    from ..models.gaussians import _PARAM_FIELDS
+    from ..parallel.sharded import replicate_proj
+
+    rs = ms.rs
+    params = {f: jax.lax.stop_gradient(getattr(carry.m, f))
+              for f in _PARAM_FIELDS}
+    m = GaussianMap(**params, n_alive=carry.m.n_alive)
+    pose = jax.lax.stop_gradient(carry.kf_poses[k])
+    proj = project_for_pose(m.activated(), pose, rs)
+    proj = replicate_proj(proj, ms.mesh)
+    align = 0
+    if rs.use_pallas:
+        from ..ops.pallas_composite import CHUNK as _PL_CHUNK
+
+        align = _PL_CHUNK
+    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac)
+
+
+def _grad_and_stats(c: MapCarry, bins, k, i, kf_colors, kf_depths, kf_ests,
+                    ms: MapOptSettings):
+    """Shared loss/grad + densification-stats update for one iteration."""
+    from ..models.gaussians import _PARAM_FIELDS
+
+    argnums = (0, 1, 2) if ms.do_BA else (0, 1)
+    grad_fn = jax.value_and_grad(_map_loss, argnums=argnums, has_aux=True)
+    pose = c.kf_poses[k]
+    params = {f: getattr(c.m, f) for f in _PARAM_FIELDS}
+    screen0 = jnp.zeros_like(c.m.xyz[:, :2])
+    (loss, (radii, visible)), grads = grad_fn(
+        params, screen0, pose, c.m.n_alive, kf_colors[k], kf_depths[k],
+        kf_ests[k], bins, ms
+    )
+    if ms.do_BA:
+        gp_dict, g_screen, g_pose = grads
+    else:
+        gp_dict, g_screen = grads
+        g_pose = None
+    gm = GaussianMap(**gp_dict, n_alive=c.m.n_alive)
+
+    in_densify_phase = i <= ms.densify_until_iter
+    # max radii + densification stats (mapper.py:887-898)
+    max_radii = jnp.where(
+        visible & in_densify_phase,
+        jnp.maximum(c.max_radii, radii.astype(jnp.float32)),
+        c.max_radii,
+    )
+    gnorm = jnp.linalg.norm(g_screen, axis=-1)
+    upd = visible & in_densify_phase
+    grad_accum = c.grad_accum + jnp.where(upd, gnorm, 0.0)
+    denom = c.denom + upd.astype(jnp.float32)
+    return loss, gm, g_pose, max_radii, grad_accum, denom
+
+
+def _pose_adam(c: MapCarry, k, g_pose, ms: MapOptSettings):
+    """Adam on the sampled keyframe's pose (per-group LRs for q/T,
+    torch default eps; mapper.py:768-780,940-942)."""
+    pose_step = c.pose_step + 1
+    sf = pose_step.astype(jnp.float32)
+    bc1 = 1.0 - 0.9**sf
+    bc2 = 1.0 - 0.999**sf
+    gp = jnp.zeros_like(c.kf_poses).at[k].set(g_pose)
+    pose_m = 0.9 * c.pose_m + 0.1 * gp
+    pose_v = 0.999 * c.pose_v + 0.001 * gp * gp
+    lr_vec = jnp.concatenate(
+        [jnp.full((4,), ms.cam_q_lr), jnp.full((3,), ms.cam_t_lr)]
+    )
+    upd = lr_vec * (pose_m / bc1) / (jnp.sqrt(pose_v) / jnp.sqrt(bc2) + 1e-15)
+    return c.kf_poses - upd, pose_m, pose_v, pose_step
+
+
+@partial(jax.jit, static_argnames=("ms", "n_iters"))
+def _map_segment(
+    carry: MapCarry,
+    bins,
+    k: jnp.ndarray,
+    base_i: jnp.ndarray,
+    kf_colors: jnp.ndarray,
+    kf_depths: jnp.ndarray,
+    kf_ests: jnp.ndarray,
+    ms: MapOptSettings,
+    n_iters: int,
+) -> MapCarry:
+    """`n_iters` map-Adam iterations on keyframe slot `k` with FIXED bins.
+    No prune, no rebin — both are host-level segment boundaries."""
+
+    def body(j, c):
+        i = base_i + j
+        loss, gm, g_pose, max_radii, grad_accum, denom = _grad_and_stats(
+            c, bins, k, i, kf_colors, kf_depths, kf_ests, ms
+        )
+        row_mask = c.ba_mask if ms.do_BA else None
+        m2, adam2 = adam_update(c.m, gm, c.adam, ms.hyper, row_mask=row_mask)
+
+        kf_poses, pose_m, pose_v, pose_step = (
+            c.kf_poses, c.pose_m, c.pose_v, c.pose_step
+        )
+        if ms.do_BA:
+            kf_poses, pose_m, pose_v, pose_step = _pose_adam(c, k, g_pose, ms)
+
+        return MapCarry(
+            m=m2, adam=adam2, max_radii=max_radii, grad_accum=grad_accum,
+            denom=denom, ba_mask=c.ba_mask, kf_poses=kf_poses, pose_m=pose_m,
+            pose_v=pose_v, pose_step=pose_step, last_loss=loss,
+        )
+
+    return jax.lax.fori_loop(0, n_iters, body, carry)
+
+
+@partial(jax.jit, static_argnames=("ms",))
+def _map_prune_step(
+    carry: MapCarry,
+    bins,
+    k: jnp.ndarray,
+    base_i: jnp.ndarray,
+    kf_colors: jnp.ndarray,
+    kf_depths: jnp.ndarray,
+    kf_ests: jnp.ndarray,
+    camera_extent: jnp.ndarray,
+    ms: MapOptSettings,
+) -> MapCarry:
+    """One prune iteration: loss/grads still run (stats update, reference
+    mapper.py:887-898) but the map Adam step is skipped (grads orphaned by
+    the torch param swap) and the map is compacted."""
+    c = carry
+    loss, gm, g_pose, max_radii, grad_accum, denom = _grad_and_stats(
+        c, bins, k, base_i, kf_colors, kf_depths, kf_ests, ms
+    )
+    if ms.method == "splatam":
+        pmask = prune_mask_reference(c.m, camera_extent, ms.min_opacity)
+    else:
+        pmask = prune_mask_reference(
+            c.m, camera_extent, ms.min_opacity, max_radii, ms.size_threshold
+        )
+    m2, adam2, order = prune_compact(c.m, c.adam, ~pmask)
+
+    kf_poses, pose_m, pose_v, pose_step = (
+        c.kf_poses, c.pose_m, c.pose_v, c.pose_step
+    )
+    if ms.do_BA:
+        kf_poses, pose_m, pose_v, pose_step = _pose_adam(c, k, g_pose, ms)
+
+    return MapCarry(
+        m=m2, adam=adam2, max_radii=max_radii[order],
+        grad_accum=grad_accum[order], denom=denom[order],
+        ba_mask=c.ba_mask[order], kf_poses=kf_poses, pose_m=pose_m,
+        pose_v=pose_v, pose_step=pose_step, last_loss=loss,
+    )
+
+
+def _is_prune_iter(i: int, ms: MapOptSettings) -> bool:
+    if ms.method == "splatam":
+        # splatam prunes (opacity-only) at i in {0, 20} (mapper.py:879-884)
+        return i <= 20 and i % 20 == 0
+    return (
+        i >= ms.densify_from_iter
+        and i % ms.pruning_interval == 0
+        and i <= ms.densify_until_iter
+    )
+
+
+def plan_segments(schedule: np.ndarray, ms: MapOptSettings):
+    """Host-side segment plan: ("prune"|"opt", kf_slot, base_i, n).
+
+    Cuts at prune iterations, keyframe switches, and every `rebin_every`
+    iterations within a keyframe run (BA: every iteration — poses move)."""
+    sched = np.asarray(schedule)
+    iters = len(sched)
+    rebin = 1 if ms.do_BA else max(int(ms.rebin_every), 1)
+    segs = []
+    i = 0
+    while i < iters:
+        if _is_prune_iter(i, ms):
+            segs.append(("prune", int(sched[i]), i, 1))
+            i += 1
+            continue
+        j = i + 1
+        while (j < iters and j - i < rebin and sched[j] == sched[i]
+               and not _is_prune_iter(j, ms)):
+            j += 1
+        segs.append(("opt", int(sched[i]), i, j - i))
+        i = j
+    return segs
+
+
 def optimize_map(
     carry: MapCarry,
     kf_colors: jnp.ndarray,   # [K, 3, H, W]
     kf_depths: jnp.ndarray,   # [K, H, W]
     kf_ests: jnp.ndarray,     # [K, H, W]
-    schedule: jnp.ndarray,    # [iters] int32 indices into the K axis
+    schedule,                 # [iters] int indices into the K axis (host)
     camera_extent: jnp.ndarray,
     ms: MapOptSettings,
 ) -> MapCarry:
-    argnums = (0, 1, 2) if ms.do_BA else (0, 1)
-    grad_fn = jax.value_and_grad(_map_loss, argnums=argnums, has_aux=True)
-    from ..models.gaussians import _PARAM_FIELDS
-
-    def body(i, loop_carry):
-        c, bins, bins_kf = loop_carry
-        k = schedule[i]
-        pose = c.kf_poses[k]
-        gt_color = kf_colors[k]
-        gt_depth = kf_depths[k]
-        est_depth = kf_ests[k]
-
-        params = {f: getattr(c.m, f) for f in _PARAM_FIELDS}
-
-        # Binning reuse: the selection only changes when the viewpoint
-        # switches (different keyframe), the map rows move (prune sets
-        # bins_kf = -1), or BA moves poses. Gaussian drift within a few
-        # map-Adam steps is sub-pixel (xyz lr 1e-4) so in-between refreshes
-        # follow ms.rebin_every like the tracker.
-        needs_rebin = (k != bins_kf) | (jnp.mod(i, ms.rebin_every) == 0)
-        if ms.do_BA:
-            needs_rebin = jnp.asarray(True)
-        bins = jax.lax.cond(
-            needs_rebin,
-            lambda: _bins_for(params, c.m.n_alive, pose, ms),
-            lambda: bins,
-        )
-        bins_kf = k
-
-        screen0 = jnp.zeros_like(c.m.xyz[:, :2])
-        (loss, (radii, visible)), grads = grad_fn(
-            params, screen0, pose, c.m.n_alive, gt_color, gt_depth,
-            est_depth, bins, ms
-        )
-        if ms.do_BA:
-            gp_dict, g_screen, g_pose = grads
-        else:
-            gp_dict, g_screen = grads
-            g_pose = None
-        gm = GaussianMap(**gp_dict, n_alive=c.m.n_alive)
-
-        in_densify_phase = i <= ms.densify_until_iter
-        # max radii + densification stats (mapper.py:887-898)
-        max_radii = jnp.where(
-            visible & in_densify_phase,
-            jnp.maximum(c.max_radii, radii.astype(jnp.float32)),
-            c.max_radii,
-        )
-        gnorm = jnp.linalg.norm(g_screen, axis=-1)
-        upd = visible & in_densify_phase
-        grad_accum = c.grad_accum + jnp.where(upd, gnorm, 0.0)
-        denom = c.denom + upd.astype(jnp.float32)
-
-        is_prune_iter = (
-            (i >= ms.densify_from_iter)
-            & (jnp.mod(i, ms.pruning_interval) == 0)
-            & in_densify_phase
-        )
-        if ms.method == "splatam":
-            # splatam prunes (opacity-only) at i in {0, 20} (mapper.py:879-884)
-            is_prune_iter = (i <= 20) & (jnp.mod(i, 20) == 0)
-
-        def do_prune(args):
-            m, adam, max_radii, grad_accum, denom, ba_mask = args
-            if ms.method == "splatam":
-                pmask = prune_mask_reference(m, camera_extent, ms.min_opacity)
-            else:
-                pmask = prune_mask_reference(
-                    m, camera_extent, ms.min_opacity, max_radii, ms.size_threshold
+    """Host-level driver over jitted segments. The schedule must be host
+    material (numpy or concrete jnp) — segment boundaries are compile-time.
+    Opt segments run as a binary decomposition over power-of-two lengths so
+    the number of distinct jit shapes is bounded by len(_SEG_SIZES)."""
+    sched = np.asarray(schedule)
+    for kind, k, base_i, n in plan_segments(sched, ms):
+        kj = jnp.asarray(k, jnp.int32)
+        if kind == "prune":
+            bins = _map_bins(carry, kj, ms)
+            carry = _map_prune_step(
+                carry, bins, kj, jnp.asarray(base_i, jnp.int32), kf_colors,
+                kf_depths, kf_ests, camera_extent, ms,
+            )
+            continue
+        bins = _map_bins(carry, kj, ms)
+        off = 0
+        for size in _SEG_SIZES:
+            while n - off >= size:
+                carry = _map_segment(
+                    carry, bins, kj, jnp.asarray(base_i + off, jnp.int32),
+                    kf_colors, kf_depths, kf_ests, ms, size,
                 )
-            m2, adam2, order = prune_compact(m, adam, ~pmask)
-            return (
-                m2,
-                adam2,
-                max_radii[order],
-                grad_accum[order],
-                denom[order],
-                ba_mask[order],
-            )
-
-        def do_adam(args):
-            m, adam, max_radii, grad_accum, denom, ba_mask = args
-            row_mask = ba_mask if ms.do_BA else None
-            m2, adam2 = adam_update(m, gm, adam, ms.hyper, row_mask=row_mask)
-            return (m2, adam2, max_radii, grad_accum, denom, ba_mask)
-
-        # Prune iterations skip the map Adam step (see module docstring).
-        m, adam, max_radii, grad_accum, denom, ba_mask = jax.lax.cond(
-            is_prune_iter,
-            do_prune,
-            do_adam,
-            (c.m, c.adam, max_radii, grad_accum, denom, c.ba_mask),
-        )
-
-        kf_poses, pose_m, pose_v, pose_step = c.kf_poses, c.pose_m, c.pose_v, c.pose_step
-        if ms.do_BA:
-            # Adam on the sampled keyframe's pose (per-group LRs for q/T,
-            # torch default eps; mapper.py:768-780,940-942).
-            pose_step = pose_step + 1
-            sf = pose_step.astype(jnp.float32)
-            bc1 = 1.0 - 0.9**sf
-            bc2 = 1.0 - 0.999**sf
-            gp = jnp.zeros_like(kf_poses).at[k].set(g_pose)
-            pose_m = 0.9 * pose_m + 0.1 * gp
-            pose_v = 0.999 * pose_v + 0.001 * gp * gp
-            lr_vec = jnp.concatenate(
-                [jnp.full((4,), ms.cam_q_lr), jnp.full((3,), ms.cam_t_lr)]
-            )
-            upd_p = lr_vec * (pose_m / bc1) / (jnp.sqrt(pose_v) / jnp.sqrt(bc2) + 1e-15)
-            kf_poses = kf_poses - upd_p
-
-        # pruning compacts/permutes rows -> cached bins are stale
-        bins_kf = jnp.where(is_prune_iter, -1, bins_kf)
-
-        c_out = MapCarry(
-            m=m, adam=adam, max_radii=max_radii, grad_accum=grad_accum,
-            denom=denom, ba_mask=ba_mask, kf_poses=kf_poses, pose_m=pose_m,
-            pose_v=pose_v, pose_step=pose_step, last_loss=loss,
-        )
-        return (c_out, bins, bins_kf)
-
-    params0 = {f: getattr(carry.m, f) for f in _PARAM_FIELDS}
-    bins0 = _bins_for(params0, carry.m.n_alive, carry.kf_poses[schedule[0]], ms)
-    out, _, _ = jax.lax.fori_loop(
-        0, ms.iters, body, (carry, bins0, jnp.asarray(-1, jnp.int32))
-    )
-    return out
+                off += size
+    return carry

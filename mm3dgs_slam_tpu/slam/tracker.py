@@ -1,8 +1,18 @@
 """Camera tracking: gradient descent on the 7-DoF pose against the map.
 
-TPU-native version of slam/tracker.py:45-266 — the whole per-frame
-optimization (render -> loss -> grad -> Adam on (q, T)) runs as ONE jitted
-`lax.fori_loop`, so a 100-iteration track costs a single dispatch.
+TPU-native version of slam/tracker.py:45-266 — the per-frame optimization
+(render -> loss -> grad -> Adam on (q, T)) runs as a short sequence of
+jitted SEGMENT dispatches: `rebin_every` Adam iterations per dispatch with
+the tile binning rebuilt between segments.
+
+Binning is rebuilt at exactly the same global iterations as the round-1
+single-dispatch flat loop (i % rebin_every == 0), but as a host-level
+segment boundary instead of an in-loop `lax.cond` with the bins pytree in
+the carry — measured on v5e the cond+carry structure cost ~36 ms/iter of
+pure overhead (scripts/profile_loop.py: flat+cond 114 ms/iter vs fixed-bins
+78 ms/iter; a nested scan-of-fori only recovered 9). Segment dispatches
+enqueue back-to-back without host syncs, so the extra dispatch overhead is
+amortized to ~nothing.
 
 Faithful semantics:
   * separate Adam groups for translation/rotation with their own LRs and
@@ -101,36 +111,40 @@ def tracking_loss(
 
 
 @partial(jax.jit, static_argnames=("ts",))
-def track_frame(
-    g: ActivatedGaussians,
-    pose_init: jnp.ndarray,
-    gt_color: jnp.ndarray,
-    gt_depth: jnp.ndarray,
-    est_depth: jnp.ndarray,
-    ts: TrackSettings,
-):
-    """Optimize the pose for `ts.iters` Adam steps. Returns (pose, last_loss).
-
-    The map `g` is frozen (gradients flow only to the pose)."""
+def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     from ..ops.binning import build_bins
     from ..ops.render import project_for_pose
 
-    initial_pose = jax.lax.stop_gradient(pose_init)
     rs = ts.rs
     align = 0
     if rs.use_pallas:
         from ..ops.pallas_composite import CHUNK as _PL_CHUNK
 
         align = _PL_CHUNK
+    proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
+    proj = replicate_proj(proj, ts.mesh)
+    return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac)
 
-    def make_bins(pose):
-        proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
-        proj = replicate_proj(proj, ts.mesh)
-        return build_bins(proj, rs.cam, rs.pair_cap,
-                          rs.max_tiles_per_gaussian, align=align,
-                          d1=rs.bin_d1, big_frac=rs.bin_big_frac)
 
-    def loss_fn(q, T, bins):
+@partial(jax.jit, static_argnames=("ts", "n_iters"))
+def _track_segment(
+    g: ActivatedGaussians,
+    carry,
+    bins,
+    base_i: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    est_depth: jnp.ndarray,
+    initial_pose: jnp.ndarray,
+    ts: TrackSettings,
+    n_iters: int,
+):
+    """`n_iters` Adam steps with FIXED bins (the loop-invariant hoisted out
+    of the dispatch); `base_i` is the global iteration of step 0 (bias
+    correction)."""
+
+    def loss_fn(q, T):
         pose = jnp.concatenate([q, T])
         return tracking_loss(
             g, pose, gt_color, gt_depth, est_depth, initial_pose, ts, bins
@@ -138,11 +152,10 @@ def track_frame(
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
-    def adam_iter(i, carry, bins):
-        """One Adam step; `i` is the GLOBAL iteration (for bias correction)."""
+    def body(j, carry):
         q, T, mq, vq, mT, vT, _ = carry
-        loss, (gq, gT) = grad_fn(q, T, bins)
-        step = (i + 1).astype(jnp.float32)
+        loss, (gq, gT) = grad_fn(q, T)
+        step = (base_i + j + 1).astype(jnp.float32)
         bc1 = 1.0 - ts.b1**step
         bc2 = 1.0 - ts.b2**step
 
@@ -155,30 +168,42 @@ def track_frame(
         T = T - ts.position_lr * (mT / bc1) / (jnp.sqrt(vT) / jnp.sqrt(bc2) + ts.eps)
         return (q, T, mq, vq, mT, vT, loss)
 
+    return jax.lax.fori_loop(0, n_iters, body, carry)
+
+
+def track_frame(
+    g: ActivatedGaussians,
+    pose_init: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    est_depth: jnp.ndarray,
+    ts: TrackSettings,
+):
+    """Optimize the pose for `ts.iters` Adam steps. Returns (pose, last_loss).
+
+    The map `g` is frozen (gradients flow only to the pose). Host-level
+    driver: one jitted segment per `rebin_every` block, bins rebuilt
+    between segments (same cadence as an in-loop i % rebin_every == 0
+    refresh). No host syncs — dispatches enqueue back-to-back."""
+    initial_pose = jax.lax.stop_gradient(pose_init)
+    rebin = max(int(ts.rebin_every), 1)
+
     q0 = pose_init[:4]
     T0 = pose_init[4:]
     z4 = jnp.zeros_like(q0)
     z3 = jnp.zeros_like(T0)
-    carry0 = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
+    carry = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
 
-    # Flat loop with a cond-guarded rebin every `rebin_every` iterations,
-    # bins riding in the carry (same structure as optimize_map). Measured on
-    # TPU this halves per-iteration cost vs the round-1 nested blocked loop
-    # (125-133 vs 255 ms/iter at 131k gaussians): the nested
-    # fori(block)/fori(inner)/cond structure defeated XLA's loop
-    # optimizations, while carrying the bins pytree through a flat loop
-    # costs only ~8 ms/iter (scripts/profile_loop.py).
-    rebin = max(int(ts.rebin_every), 1)
-
-    def body(i, loop_carry):
-        c, bins = loop_carry
-        bins = jax.lax.cond(
-            (jnp.mod(i, rebin) == 0) & (i > 0),  # i=0 uses the seed bins
-            lambda: make_bins(jnp.concatenate([c[0], c[1]])),
-            lambda: bins,
+    i = 0
+    while i < ts.iters:
+        pose = pose_init if i == 0 else jnp.concatenate([carry[0], carry[1]])
+        bins = _track_bins(g, pose, ts)
+        n = min(rebin, ts.iters - i)
+        carry = _track_segment(
+            g, carry, bins, jnp.asarray(i, jnp.int32), gt_color, gt_depth,
+            est_depth, initial_pose, ts, n,
         )
-        return (adam_iter(i, c, bins), bins)
+        i += n
 
-    bins0 = make_bins(pose_init)
-    (q, T, *_, loss), _ = jax.lax.fori_loop(0, ts.iters, body, (carry0, bins0))
+    q, T, *_, loss = carry
     return jnp.concatenate([q, T]), loss

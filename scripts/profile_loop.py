@@ -122,6 +122,30 @@ def main():
 
     run("C flat loop, cond-rebin (bins in carry)", flat_rebin, poses)
 
+    # D. scan over rebin segments: bins rebuilt UNCONDITIONALLY at segment
+    # start (a loop-invariant of the inner fori — no cond, bins not in any
+    # carry). The rebin cadence is static, so this is semantically variant C
+    # with the cond decided at trace time.
+    @jax.jit
+    def seg_scan(p):
+        z4 = jnp.zeros(4)
+        z3 = jnp.zeros(3)
+        c0 = (p[:4], p[4:], z4, z4, z3, z3, jnp.float32(0))
+
+        def seg(c, base_i):
+            bins = mkbins(jnp.concatenate([c[0], c[1]]))
+            c = jax.lax.fori_loop(
+                0, REBIN, lambda j, cc: adam_step(base_i + j, cc, bins), c
+            )
+            return c, None
+
+        c, _ = jax.lax.scan(
+            seg, c0, jnp.arange(0, ITERS, REBIN, dtype=jnp.int32)
+        )
+        return c[-1]
+
+    run("D scan segments, unconditional rebin", seg_scan, poses)
+
 
 if __name__ == "__main__":
     main()
