@@ -139,12 +139,74 @@ def propagate_const_vel(pose_m1: jnp.ndarray, pose_m2: jnp.ndarray) -> jnp.ndarr
     return w2c_to_pose(delta @ pre)
 
 
+# Shoemake axis-spec tuples (firstaxis, parity, repetition, frame) — the
+# standard Graphics Gems IV encoding of the 24 Euler conventions; interface
+# constants shared with utils/pose_utils.py:24-40.
+_AXES2TUPLE = {
+    "sxyz": (0, 0, 0, 0), "sxyx": (0, 0, 1, 0), "sxzy": (0, 1, 0, 0),
+    "sxzx": (0, 1, 1, 0), "syzx": (1, 0, 0, 0), "syzy": (1, 0, 1, 0),
+    "syxz": (1, 1, 0, 0), "syxy": (1, 1, 1, 0), "szxy": (2, 0, 0, 0),
+    "szxz": (2, 0, 1, 0), "szyx": (2, 1, 0, 0), "szyz": (2, 1, 1, 0),
+    "rzyx": (0, 0, 0, 1), "rxyx": (0, 0, 1, 1), "ryzx": (0, 1, 0, 1),
+    "rxzx": (0, 1, 1, 1), "rxzy": (1, 0, 0, 1), "ryzy": (1, 0, 1, 1),
+    "rzxy": (1, 1, 0, 1), "ryxy": (1, 1, 1, 1), "ryxz": (2, 0, 0, 1),
+    "rzxz": (2, 0, 1, 1), "rxyz": (2, 1, 0, 1), "rzyz": (2, 1, 1, 1),
+}
+_NEXT_AXIS = (1, 2, 0, 1)
+
+
+def euler_matrix(ai, aj, ak, axes: str = "sxyz",
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Euler angles -> homogeneous rotation matrix, all 24 conventions.
+
+    Parity surface of utils/pose_utils.py:43-99 (the reference vendors the
+    classic Shoemake euler_matrix; the pipeline itself only ever calls
+    'sxyz' — utils/pose_utils.py:137,190). `axes` is static (selects the
+    branch at trace time); angles may be traced scalars.
+    """
+    firstaxis, parity, repetition, frame = _AXES2TUPLE[axes.lower()]
+    i = firstaxis
+    j = _NEXT_AXIS[i + parity]
+    k = _NEXT_AXIS[i - parity + 1]
+    if frame:
+        ai, ak = ak, ai
+    if parity:
+        ai, aj, ak = -ai, -aj, -ak
+    si, sj, sk = jnp.sin(ai), jnp.sin(aj), jnp.sin(ak)
+    ci, cj, ck = jnp.cos(ai), jnp.cos(aj), jnp.cos(ak)
+    cc, cs = ci * ck, ci * sk
+    sc, ss = si * ck, si * sk
+    M = jnp.eye(4, dtype=dtype)
+    if repetition:
+        M = M.at[i, i].set(cj)
+        M = M.at[i, j].set(sj * si)
+        M = M.at[i, k].set(sj * ci)
+        M = M.at[j, i].set(sj * sk)
+        M = M.at[j, j].set(-cj * ss + cc)
+        M = M.at[j, k].set(-cj * cs - sc)
+        M = M.at[k, i].set(-sj * ck)
+        M = M.at[k, j].set(cj * sc + cs)
+        M = M.at[k, k].set(cj * cc - ss)
+    else:
+        M = M.at[i, i].set(cj * ck)
+        M = M.at[i, j].set(sj * sc - cs)
+        M = M.at[i, k].set(sj * cc + ss)
+        M = M.at[j, i].set(cj * sk)
+        M = M.at[j, j].set(sj * ss + cc)
+        M = M.at[j, k].set(sj * cs - sc)
+        M = M.at[k, i].set(-sj)
+        M = M.at[k, j].set(cj * si)
+        M = M.at[k, k].set(cj * ci)
+    return M
+
+
 def euler_sxyz_matrix(ai, aj, ak, dtype=jnp.float32) -> jnp.ndarray:
     """Static-frame xyz Euler angles -> homogeneous rotation matrix.
 
-    Only the 'sxyz' convention is needed by the pipeline
+    The 'sxyz' convention is the one the pipeline uses
     (utils/pose_utils.py:137,190 call euler_matrix(..., axes='sxyz')); this is
     the (i,j,k)=(0,1,2), no-repetition branch of utils/pose_utils.py:43-99.
+    The general 24-convention table lives in euler_matrix above.
     """
     si, sj, sk = jnp.sin(ai), jnp.sin(aj), jnp.sin(ak)
     ci, cj, ck = jnp.cos(ai), jnp.cos(aj), jnp.cos(ak)

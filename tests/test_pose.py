@@ -157,3 +157,53 @@ def test_propagate_imu_padding_is_identity():
     b = P.propagate_imu(pose_m1, pose_m2, jnp.asarray(ang[:4]), jnp.asarray(acc[:4]),
                         jnp.ones(4, dtype=bool), jnp.asarray(c2i), 0.5, 0.01)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_euler_matrix_all_24_conventions():
+    """Cross-check the Shoemake-table euler_matrix against an INDEPENDENT
+    construction: compose elementary axis rotations directly. Static-frame
+    'sabc' applies R_c(ak) @ R_b(aj) @ R_a(ai) (later rotations about fixed
+    axes premultiply); rotating-frame 'rabc' is the reverse composition."""
+    import numpy as np
+
+    from mm3dgs_slam_tpu.ops.pose import _AXES2TUPLE, euler_matrix
+
+    def elem(axis, t):
+        c, s = np.cos(t), np.sin(t)
+        m = np.eye(4)
+        if axis == "x":
+            m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+        elif axis == "y":
+            m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+        else:
+            m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
+        return m
+
+    rng = np.random.default_rng(3)
+    for axes in _AXES2TUPLE:
+        for _ in range(3):
+            ai, aj, ak = rng.uniform(-np.pi, np.pi, 3)
+            a, b, c = axes[1], axes[2], axes[3]
+            if axes[0] == "s":
+                expect = elem(c, ak) @ elem(b, aj) @ elem(a, ai)
+            else:
+                expect = elem(a, ai) @ elem(b, aj) @ elem(c, ak)
+            got = np.asarray(
+                euler_matrix(ai, aj, ak, axes, dtype=jnp.float64)
+            )
+            assert np.allclose(got, expect, atol=1e-5), axes
+
+
+def test_euler_sxyz_matches_general():
+    import numpy as np
+
+    from mm3dgs_slam_tpu.ops.pose import euler_matrix, euler_sxyz_matrix
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        ai, aj, ak = rng.uniform(-np.pi, np.pi, 3)
+        assert np.allclose(
+            np.asarray(euler_sxyz_matrix(ai, aj, ak)),
+            np.asarray(euler_matrix(ai, aj, ak, "sxyz")),
+            atol=1e-6,
+        )
