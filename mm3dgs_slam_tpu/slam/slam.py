@@ -287,7 +287,15 @@ class SLAM:
         last_idx = 0
         try:
             for idx in range(self.n_img):
+                t_frame = time.perf_counter()
                 self._step(idx)
+                if self.cfg["debug"].get("get_runtime_stats"):
+                    print(
+                        f"frame {idx + 1}/{self.n_img}: "
+                        f"{time.perf_counter() - t_frame:.2f}s, "
+                        f"{int(self.gaussians.n_alive)} gaussians",
+                        flush=True,
+                    )
                 last_idx += 1
                 if idx in (self.cfg.get("save_iterations") or []):
                     self.save_map(idx)

@@ -1,0 +1,36 @@
+"""Golden full-budget regression run (BASELINE.md) — env-gated, slow.
+
+Run with `MM3DGS_GOLDEN=1 python -m pytest tests/test_golden.py -x -q`.
+On the real TPU this takes ~30 min warm (32 frames x 250 iters at 640x480,
+~306k gaussians); on CPU it is impractically slow, so the gate keeps it out
+of the default suite. Thresholds are loose floors under the committed
+numbers (ATE 0.005289 m, PSNR 32.51 — BASELINE.md golden table).
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("MM3DGS_GOLDEN") != "1",
+    reason="golden run is slow; set MM3DGS_GOLDEN=1 to enable",
+)
+
+
+def test_golden_full_budget(tmp_path):
+
+    from mm3dgs_slam_tpu.config import load_config
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "synthetic_tum.yml"))
+    cfg["outputdir"] = str(tmp_path / "golden")
+    slam = SLAM(cfg)
+    slam.run()
+
+    r = np.load(os.path.join(cfg["outputdir"], "results.npz"),
+                allow_pickle=True)
+    ate = float(r["ate_rmse"])
+    psnr = float(np.mean(r["psnr_list"]))
+    assert ate < 0.01, f"golden ATE regressed: {ate}"
+    assert psnr > 30.0, f"golden PSNR regressed: {psnr}"
