@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Weak-scaling shape of the sharded train step on a virtual CPU mesh.
+
+No multi-chip hardware is reachable from this environment, so this measures
+the SPMD program's *shape* — that the per-device work shrinks with mesh
+size and the collectives stay on the compiled path — not real ICI scaling.
+Run on a pod slice as-is for true numbers.
+
+Forces the CPU platform with 8 virtual devices (the conftest pattern: env
+vars alone are overridden by sitecustomize). Prints one JSON line:
+{"mesh_1_ms": ..., "mesh_8_ms": ..., "weak_efficiency": ...} where each
+timing is a full render->loss->grad->Adam step over a map of
+N_PER_DEV * n_devices gaussians (weak scaling: constant per-device rows).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_DEV = 8
+N_PER_DEV = 1 << 14
+REPS = 5
+
+
+def main():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={N_DEV}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_scene
+    from mm3dgs_slam_tpu.models import gaussians as G
+    from mm3dgs_slam_tpu.ops.render import RenderSettings
+    from mm3dgs_slam_tpu.parallel.mesh import make_mesh
+    from mm3dgs_slam_tpu.parallel.sharded import (
+        make_sharded_train_step,
+        shard_map_state,
+    )
+
+    hyper = G.MapOptHyper(
+        lr_xyz=1e-3, lr_features_dc=2.5e-3, lr_features_rest=1.25e-4,
+        lr_scaling=1e-3, lr_rotation=1e-3, lr_opacity=5e-2, lr_rgb=2.5e-3,
+    )
+    pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
+
+    def bench(n_devices):
+        m, cam = _build_scene(N_PER_DEV * n_devices, cam_hw=(120, 160))
+        adam = G.init_adam(m)
+        rs = RenderSettings(cam=cam, pair_cap=1 << 18, max_per_tile=1024,
+                            chunk=32, max_tiles_per_gaussian=64)
+        mesh = make_mesh(n_devices)
+        m, adam = shard_map_state(m, adam, mesh)
+        step = make_sharded_train_step(rs, hyper, mesh)
+        gt = jnp.zeros((3, cam.height, cam.width), jnp.float32)
+        m2, adam2, loss = step(m, adam, pose, gt)  # compile
+        float(loss)
+        t0 = time.perf_counter()
+        for i in range(REPS):
+            m, adam, loss = step(m, adam, pose.at[4].add(1e-4 * i), gt)
+        float(loss)
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    t1 = bench(1)
+    t8 = bench(N_DEV)
+    # All 8 virtual devices share ONE core, so the 8x-gaussian run does 8x
+    # the arithmetic on the same silicon — wall-clock weak scaling cannot
+    # show here. The honest shape metric is the SPMD overhead factor
+    # t8 / (8 * t1): 1.0 = the sharded program adds nothing beyond the 8x
+    # work; the excess is collective/replication overhead that real ICI
+    # would pay in bandwidth instead of serialized core time.
+    print(json.dumps({
+        "metric": "sharded_step_spmd_overhead_cpu_mesh",
+        "mesh_1_ms": round(t1, 2),
+        "mesh_8_ms": round(t8, 2),
+        "spmd_overhead_factor": round(t8 / (N_DEV * t1), 3),
+        "n_per_device": N_PER_DEV,
+        "note": "virtual CPU mesh on one core: program shape only; run on "
+                "a pod slice for real weak scaling",
+    }))
+
+
+if __name__ == "__main__":
+    main()
