@@ -139,13 +139,24 @@ def niqe_score(gray: np.ndarray, mu_pris: np.ndarray, cov_pris: np.ndarray,
     return float(np.sqrt(max(d @ icov @ d, 0.0)))
 
 
+_SHIPPED_MODEL = os.path.join(os.path.dirname(__file__), "..", "assets",
+                              "niqe_model.npz")
+
+
 class FrameQuality:
-    """Callable scorer: lower = better (NIQE orientation)."""
+    """Callable scorer: lower = better (NIQE orientation).
+
+    Resolution order for the pristine model: explicit ``model_path`` >
+    ``MM3DGS_NIQE_MODEL`` env var > the shipped package model
+    (assets/niqe_model.npz, fitted on a procedural pristine corpus by
+    scripts/fit_niqe_model.py --synthetic). The MSCN-contrast proxy only
+    remains as a last-resort fallback."""
 
     def __init__(self, model_path: str | None = None):
         self._model = None
         self._patch = 96
-        path = model_path or os.environ.get("MM3DGS_NIQE_MODEL")
+        path = (model_path or os.environ.get("MM3DGS_NIQE_MODEL")
+                or _SHIPPED_MODEL)
         if path and os.path.exists(path):
             data = np.load(path)
             self._model = (np.asarray(data["mu"]), np.asarray(data["cov"]))

@@ -53,7 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .camera import TILE, Camera
 
-CHUNK = 128         # pairs per inner step (lanes)
+import os as _os
+
+CHUNK = int(_os.environ.get("MM3DGS_PL_CHUNK", "128"))
+                    # pairs per inner step (lanes); larger chunks amortize
+                    # per-chunk fixed costs against +CHUNK/2 average padding
+                    # per tile segment (bins are aligned to CHUNK)
+SUB = 128           # triangular-cumsum sub-block (keeps the O(CHUNK*SUB)
+                    # MXU cost per pair constant when CHUNK grows)
 PIX = TILE * TILE   # 256 pixels per tile (sublanes)
 NF = 16             # packed pair fields (12 used + 4 pad; Mosaic DMA
                     # slices must be 8-aligned on sublanes, so 12 is illegal)
@@ -78,11 +85,29 @@ def pack_pairs(proj_packed, pair_gauss, pair_valid=None):
 
 
 def _triu_ones():
-    """[CHUNK, CHUNK] upper-triangular (incl. diagonal) ones: the inclusive
+    """[SUB, SUB] upper-triangular (incl. diagonal) ones: the inclusive
     lane-cumsum operator s @ U on the MXU."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     return (r <= c).astype(jnp.float32)
+
+
+def _incl_cumsum(x, triu):
+    """Inclusive cumsum along lanes of [PIX, CHUNK]: one [PIX, SUB] x
+    [SUB, SUB] upper-triangular MXU matmul per sub-block with a [PIX, 1]
+    carry between blocks — per-pair MXU cost stays O(SUB) as CHUNK grows."""
+    if CHUNK == SUB:
+        return jax.lax.dot(x, triu, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    parts = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for k in range(CHUNK // SUB):
+        inc = jax.lax.dot(x[:, k * SUB:(k + 1) * SUB], triu,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) + carry
+        parts.append(inc)
+        carry = inc[:, SUB - 1:SUB]
+    return jnp.concatenate(parts, axis=1)
 
 
 def _pix_basis():
@@ -151,10 +176,13 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu):
     one_m = 1.0 - alpha
     s0 = jnp.log2(one_m)
     e0 = jnp.exp2(s0)
-    s = s0 + (one_m - e0) / (e0 * 0.6931471805599453)
+    # The correction term is ~3.5e-4 relative, so an approximate reciprocal
+    # (vs an exact divide) perturbs s by ~1e-7 relative — free accuracy-wise,
+    # and the VPU's approx reciprocal is much cheaper than a true divide.
+    s = s0 + (one_m - e0) * (pl.reciprocal(e0, approx=True)
+                             * 1.4426950408889634)
     s = jnp.where(alpha > 0.0, s, 0.0)  # padding lanes: exactly no-op
-    incl = jax.lax.dot(s, triu, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    incl = _incl_cumsum(s, triu)
     lT_incl = logT + incl
     lT_excl = lT_incl - s
     T_j = jnp.exp2(lT_excl)
@@ -167,11 +195,27 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu):
     use = (alpha > 0.0) & (done < 1.0) & (~below)
     w = jnp.where(use, alpha * T_j, 0.0)
 
+    # `below` is monotone along j (lT_incl is non-increasing), so the last
+    # lane IS the "stopped at or before the chunk end" flag. The frozen-T
+    # lane-max (7+ cross-lane stages on [PIX, CHUNK]) only matters on the
+    # one chunk where a pixel actually crosses the threshold — guard it
+    # behind a scalar branch that is almost always false.
     any_stop = below[:, CHUNK - 1:CHUNK]
-    frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1, keepdims=True)
-    logT_new = jnp.where(done >= 1.0, logT,
-                         jnp.where(any_stop, frozen,
-                                   lT_incl[:, CHUNK - 1:CHUNK]))
+    lT_last = lT_incl[:, CHUNK - 1:CHUNK]
+    newly = jnp.max(any_stop.astype(jnp.float32) * (1.0 - done))
+
+    def _crossing(_):
+        # frozen_T = T at the first crossing = max of the (monotone
+        # decreasing) exclusive log-T over the below region.
+        frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1,
+                         keepdims=True)
+        return jnp.where(done >= 1.0, logT,
+                         jnp.where(any_stop, frozen, lT_last))
+
+    def _plain(_):
+        return jnp.where(done >= 1.0, logT, lT_last)
+
+    logT_new = jax.lax.cond(newly > 0.0, _crossing, _plain, None)
     done_new = jnp.maximum(done, any_stop.astype(jnp.float32))
     return w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat
 
@@ -182,15 +226,19 @@ def _tile_origin(t, tiles_x):
     return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
 
 
-def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
-                buf, sem, *, tiles_x: int, n_tiles: int):
+def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
+                acc_ref, tfin_ref, buf, sem, *, tiles_x: int, n_tiles: int):
     """Double-buffered walk (slots 0/1) + cross-program chunk-0 prefetch
     (parity slots 2/3): chunk ci+1's DMA is in flight while ci computes, and
-    tile t+1's first chunk is in flight while tile t walks."""
+    tile t+1's first chunk is in flight while tile t walks.
+
+    `tile_lo_ref` ([1] scalar prefetch) is the GLOBAL index of local tile 0:
+    programs/segment tables are window-local (tile sharding over a device
+    mesh gives each shard a contiguous range), pixel origins are global."""
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    ox, oy = _tile_origin(t, tiles_x)
+    ox, oy = _tile_origin(t + tile_lo_ref[0], tiles_x)
     n_chunks = pl.cdiv(count, CHUNK)
     triu = _triu_ones()
     basis = _pix_basis()
@@ -255,14 +303,22 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, acc_ref, tfin_ref,
     tfin_ref[0, :, :] = jnp.exp2(logT_fin)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cam", "interpret", "n_local"))
 def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
-                          interpret: bool = False):
-    n_tiles = cam.n_tiles
+                          interpret: bool = False, tile_lo=None,
+                          n_local: int | None = None):
+    """`tile_lo`/`n_local`: optional tile WINDOW (global index of local tile
+    0 + static local tile count) for tile-sharded compositing; defaults to
+    the full camera grid."""
+    n_tiles = cam.n_tiles if n_local is None else n_local
+    if tile_lo is None:
+        tile_lo = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x,
                                n_tiles=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[
@@ -287,17 +343,18 @@ def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_count, pair_rows)
+    )(tile_lo, tile_start, tile_count, pair_rows)
     return acc, tfin
 
 
-def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
-                acc_ref, tfin_ref, dpair_hbm, buf, dpair_buf, sems, osems,
-                *, tiles_x: int, n_tiles: int):
+def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
+                dacc_ref, dtfin_ref, acc_ref, tfin_ref, dpair_hbm, buf,
+                dpair_buf, sems, osems,
+                *, tiles_x: int, n_tiles: int, out_dtype=jnp.float32):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    ox, oy = _tile_origin(t, tiles_x)
+    ox, oy = _tile_origin(t + tile_lo_ref[0], tiles_x)
     triu = _triu_ones()
     basis = _pix_basis()
 
@@ -369,9 +426,8 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
             precision=jax.lax.Precision.HIGHEST,
         )
         r = w * fdc
-        # inclusive lane cumsum as one MXU matmul (replaces the add-scan)
-        r_incl = jax.lax.dot(r, triu, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+        # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
+        r_incl = _incl_cumsum(r, triu)
         suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
 
         inv_onem = 1.0 / one_m
@@ -419,10 +475,14 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
         # emit FIELD-major [NF, CHUNK] — no in-VMEM transpose, no lane pad,
         # 8x less HBM write traffic than a 128-lane-padded row-major slab;
         # the consumer pays one barriered [NF, P] -> [P, NF] HBM transpose
-        # instead (bandwidth-bound).
+        # instead (bandwidth-bound). With out_dtype=bfloat16 the per-pair
+        # gradients are rounded to 8-bit mantissa before the slot-table
+        # reduction — halves every downstream byte (DMA out, transpose,
+        # gathers); the ~0.4% stochastic per-pair rounding is far below
+        # Adam's gradient-noise floor (the reduction still accumulates f32).
         dpair_buf[slot] = jnp.concatenate(
             [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
-        )
+        ).astype(out_dtype)
         dma_out(ci, slot, slot).start()
 
         A_new = A_pref + r_incl[:, CHUNK - 1:CHUNK]
@@ -459,7 +519,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
 
     @pl.when(n_rest > 0)
     def _():
-        dpair_buf[0] = jnp.zeros((NF, CHUNK), jnp.float32)
+        dpair_buf[0] = jnp.zeros((NF, CHUNK), out_dtype)
 
         def zbody(j, _):
             @pl.when(j >= 2)
@@ -478,18 +538,27 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, pair_hbm, dacc_ref, dtfin_ref,
         dma_out(ci_fin + n_rest - 1, 0, jax.lax.rem(n_rest - 1, 2)).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "interpret", "grad_bf16",
+                                    "n_local"))
 def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
                                dacc, dtfin, cam: Camera,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               grad_bf16: bool = False, tile_lo=None,
+                               n_local: int | None = None):
     """Backward kernel: per-pair gradients FIELD-major [NF, padded_cap]
-    (same layout as the pair input)."""
-    n_tiles = cam.n_tiles
+    (same layout as the pair input; bfloat16 rows when grad_bf16)."""
+    n_tiles = cam.n_tiles if n_local is None else n_local
+    if tile_lo is None:
+        tile_lo = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     padded_cap = pair_rows.shape[1]
+    out_dtype = jnp.bfloat16 if grad_bf16 else jnp.float32
     kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x,
-                               n_tiles=n_tiles)
+                               n_tiles=n_tiles, out_dtype=out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair rows
@@ -505,7 +574,7 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((4, NF, CHUNK), jnp.float32),   # 0/1 walk, 2/3 prefetch
-            pltpu.VMEM((2, NF, CHUNK), jnp.float32),   # dpair out (field-major)
+            pltpu.VMEM((2, NF, CHUNK), out_dtype),     # dpair out (field-major)
             pltpu.SemaphoreType.DMA((4,)),             # input walk + prefetch
             pltpu.SemaphoreType.DMA((2,)),             # output double-buffer
         ],
@@ -513,12 +582,12 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
     dpair_fm = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NF, padded_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NF, padded_cap), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_count, pair_rows, dacc, dtfin, acc, tfin)
+    )(tile_lo, tile_start, tile_count, pair_rows, dacc, dtfin, acc, tfin)
     # Columns beyond the last tile's aligned end are never kernel-written
     # and hold garbage — fine for the slot-table consumers (tables only
     # index kernel-written slots; invalid candidates carry SLOT_SENTINEL,
@@ -585,66 +654,72 @@ def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid):
     n, d1 = small_slots.shape
     big_cap, d2 = big_slots.shape
 
-    def block_sum(slots, rows, d):
-        g = dpair16.at[slots.reshape(-1)].get(mode="fill", fill_value=0.0)
-        g = jax.lax.optimization_barrier(g)
-        return g.reshape(rows, d, NF).sum(axis=1)
-
-    acc = block_sum(small_slots, n, d1)                  # [N, NF]
-    big_sum = block_sum(big_slots, big_cap, d2)          # [big_cap, NF]
+    # ONE merged gather over both tiers' slot tables (saves a second gather
+    # dispatch + its fixed cost); the two reshape-sums accumulate in f32
+    # regardless of the emitted gradient dtype (bf16 production path).
+    idx = jnp.concatenate([small_slots.reshape(-1), big_slots.reshape(-1)])
+    g = dpair16.at[idx].get(mode="fill", fill_value=0)
+    g = jax.lax.optimization_barrier(g)
+    acc = g[: n * d1].reshape(n, d1, NF).sum(axis=1, dtype=jnp.float32)
+    big_sum = g[n * d1:].reshape(big_cap, d2, NF).sum(axis=1,
+                                                      dtype=jnp.float32)
     big_sum = jnp.where(big_valid[:, None], big_sum, 0.0)
     return acc.at[big_gauss].add(big_sum)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 13))
 def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
                       big_gauss, big_valid, tile_start, tile_count,
-                      cam, interpret):
+                      cam, interpret, grad_bf16=False, tile_lo=None,
+                      n_local=None):
     """Fused pack + composite with the slot-table backward.
 
     One differentiable unit from per-gaussian packed rows to tile outputs:
     the backward kernel emits per-pair gradients ROW-major straight into the
     slot-table reduction — no [NF, P] <-> [P, NF] HBM transpose anywhere
-    (that transpose alone cost ~45 ms at 2.25M pairs)."""
+    (that transpose alone cost ~45 ms at 2.25M pairs). `tile_lo`/`n_local`
+    select a tile window (tile-sharded compositing); the slot tables must
+    come from the same-windowed build_bins."""
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     return _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                 interpret)
+                                 interpret, tile_lo, n_local)
 
 
 def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
-             big_gauss, big_valid, tile_start, tile_count, cam, interpret):
+             big_gauss, big_valid, tile_start, tile_count, cam, interpret,
+             grad_bf16=False, tile_lo=None, n_local=None):
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                      interpret)
+                                      interpret, tile_lo, n_local)
     res = (pair_rows, acc, tfin, small_slots, big_slots, big_gauss,
-           big_valid, tile_start, tile_count)
+           big_valid, tile_start, tile_count, tile_lo)
     return (acc, tfin), res
 
 
-def _cpk_bwd(cam, interpret, res, cts):
+def _cpk_bwd(cam, interpret, grad_bf16, n_local, res, cts):
     (pair_rows, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
-     tile_start, tile_count) = res
+     tile_start, tile_count, tile_lo) = res
     dacc, dtfin = cts
     dpair_fm = _composite_pallas_bwd_rows(
         pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
-        interpret,
+        interpret, grad_bf16, tile_lo, n_local,
     )
     dpacked = _table_reduce(dpair_fm, small_slots, big_slots, big_gauss,
                             big_valid)
-    return (dpacked, None, None, None, None, None, None, None, None)
+    return (dpacked, None, None, None, None, None, None, None, None, None)
 
 
 _composite_packed.defvjp(_cpk_fwd, _cpk_bwd)
 
 
 def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
-                           interpret: bool = False):
+                           interpret: bool = False, grad_bf16: bool = False):
     """Drop-in replacement for ops.composite.composite_tiles (pallas path)."""
     if bins.small_slots is not None:
         acc, tfin = _composite_packed(
             proj.packed, bins.pair_gauss, bins.pair_valid,
             bins.small_slots, bins.big_slots, bins.big_gauss, bins.big_valid,
-            bins.tile_start, bins.tile_count, cam, interpret,
+            bins.tile_start, bins.tile_count, cam, interpret, grad_bf16,
         )
     else:
         pair_rows = pack_pairs(proj.packed, bins.pair_gauss, bins.pair_valid)

@@ -58,6 +58,9 @@ class RenderSettings(NamedTuple):
     use_pallas: bool = False  # pallas kernel compositor (TPU fast path)
     bin_d1: int = 8           # binning small-tier slots/gaussian (ops/binning.py)
     bin_big_frac: int = 8     # binning big-tier capacity divisor
+    grad_bf16: bool = False   # emit per-pair backward grads as bfloat16
+                              # (halves the slot-table reduce bytes; the
+                              # per-gaussian accumulation stays f32)
 
 
 class ActivatedGaussians(NamedTuple):
@@ -86,7 +89,19 @@ def project_for_pose(
 
     if rs.transform_means_python:
         rel_w2c = pose_to_w2c(camera_pose)
-        means_cam = g.xyz @ rel_w2c[:3, :3].T + rel_w2c[:3, 3]
+        # SoA transform (scalar R entries x [N] columns): the [N,3] @ [3,3]
+        # form's BACKWARD emits a 3-wide reduction matmul that the TPU
+        # executes pathologically (measured ~5 ms/131k rows d/dpose); the
+        # SoA form's transpose is nine [N]-dot reductions that fuse clean.
+        mx, my, mz = g.xyz[:, 0], g.xyz[:, 1], g.xyz[:, 2]
+        R = rel_w2c[:3, :3]
+        t = rel_w2c[:3, 3]
+        means_cam = jnp.stack(
+            [mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0],
+             mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1],
+             mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]],
+            axis=-1,
+        )
         w2c = jnp.eye(4, dtype=g.xyz.dtype)
         means = means_cam
         campos = jnp.zeros(3, dtype=g.xyz.dtype)
@@ -144,13 +159,22 @@ def render(
     elif rs.use_pallas:
         from .pallas_composite import CHUNK as PL_CHUNK, composite_tiles_pallas
 
-        if bins is None:
-            bins = build_bins(
-                proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                align=PL_CHUNK, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
-            )
-        img6 = composite_tiles_pallas(proj, bins, rs.cam, bg)
-        bins_used = bins
+        if mesh is not None:
+            # tile-sharded composite: per-shard window bins built inside
+            # (parallel/tile_sharded.py); external bins do not apply
+            from ..parallel.tile_sharded import composite_tiles_sharded
+
+            img6 = composite_tiles_sharded(proj, rs.cam, bg, mesh, rs)
+            bins_used = None
+        else:
+            if bins is None:
+                bins = build_bins(
+                    proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                    align=PL_CHUNK, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
+                )
+            img6 = composite_tiles_pallas(proj, bins, rs.cam, bg,
+                                          grad_bf16=rs.grad_bf16)
+            bins_used = bins
     else:
         if bins is None:
             bins = build_bins(

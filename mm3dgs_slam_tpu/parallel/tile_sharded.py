@@ -1,0 +1,100 @@
+"""Tile-sharded compositing over the device mesh (SPMD, shard_map).
+
+The gaussian-sharded step (parallel/sharded.py) scales projection, memory
+and the optimizer across chips but runs binning + compositing REPLICATED —
+every chip does the full tile walk. This module shards the composite over
+TILE WINDOWS, the real multi-chip path to real-time (PROFILE.md roadmap #5):
+
+  * the map stays row-sharded on the 1-D ``("gauss",)`` mesh: projection,
+    Adam, densify/prune remain shard-local,
+  * the packed projections enter the shard_map REPLICATED (in_specs P()):
+    XLA's partitioner materializes the ICI all-gather at the boundary; its
+    transpose automatically reduce-scatters the per-gaussian gradient
+    partials each shard's slot-table reduction produces,
+  * inside, each shard bins and composites only its contiguous window of
+    ceil(n_tiles / n_dev) tiles (window-local build_bins + the Pallas
+    kernels' `tile_lo` scalar) — pack, kernel walk, backward and slot-table
+    reduce all scale ~linearly with the mesh,
+  * tile slabs leave the shard_map sharded on the tile axis (out_specs
+    P("gauss")); the loss-side image assembly gathers them (6 channels,
+    ~7 MB at 640x480 — one cheap ICI all-gather whose transpose scatters
+    the per-pixel cotangents back to the owning shard).
+
+Binning runs inside the per-iteration loss here (window-local, 1/n_dev of
+the global candidate load per chip); the single-chip bins-as-loop-invariant
+caching does not apply across shards yet.
+
+Reference behavior contract: identical to ops/render.py's single-device
+pallas path — same compositing semantics (slam/renderer.py:196-214), same
+pair selection per window (ops/binning.py docstring).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.binning import build_bins
+from ..ops.camera import TILE, Camera
+from ..ops.projection import ProjectedGaussians
+
+GAUSS_AXIS = "gauss"
+
+
+def tiles_per_shard(cam: Camera, n_dev: int) -> int:
+    return -(-cam.n_tiles // n_dev)
+
+
+def composite_tiles_sharded(proj: ProjectedGaussians, cam: Camera,
+                            bg: jnp.ndarray, mesh: Mesh, rs,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Tile-sharded drop-in for composite_tiles_pallas (no external bins:
+    each shard builds window-local bins inside — selection is refreshed
+    every call).
+
+    Returns the assembled [NC, H, W] image (sharding propagation decides
+    where the tile all-gather happens — typically at the assembly reshape).
+    """
+    from ..ops.pallas_composite import CHUNK, NC, _composite_packed
+
+    n_dev = mesh.devices.size
+    tpb = tiles_per_shard(cam, n_dev)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+        check_vma=False,
+    )
+    def window_fn(packed, radius, depth):
+        idx = jax.lax.axis_index(GAUSS_AXIS)
+        lo = (idx * tpb).astype(jnp.int32)
+        proj_l = ProjectedGaussians(
+            xy=packed[:, 0:2], depth=depth, conic=packed[:, 2:5],
+            radius=radius, opacity=packed[:, 5], feat=packed[:, 6:12],
+            packed=packed,
+        )
+        bins = build_bins(
+            proj_l, cam, 0, rs.max_tiles_per_gaussian, align=CHUNK,
+            d1=rs.bin_d1, big_frac=rs.bin_big_frac, tile_lo=lo, n_local=tpb,
+        )
+        acc, tfin = _composite_packed(
+            packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
+            bins.big_slots, bins.big_gauss, bins.big_valid, bins.tile_start,
+            bins.tile_count, cam, interpret, rs.grad_bf16, lo, tpb,
+        )
+        return acc, tfin
+
+    acc, tfin = window_fn(proj.packed, proj.radius, proj.depth)
+    # [n_dev * tpb, PIX, NC] sharded on the tile axis; drop the window pad
+    acc = acc[: cam.n_tiles]
+    tfin = tfin[: cam.n_tiles]
+    out = acc + tfin * bg[None, None, :]
+    tiles_y, tiles_x = cam.tiles_y, cam.tiles_x
+    img = out.reshape(tiles_y, tiles_x, TILE, TILE, NC)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(NC, tiles_y * TILE,
+                                               tiles_x * TILE)
+    return img[:, : cam.height, : cam.width]

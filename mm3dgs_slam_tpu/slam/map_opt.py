@@ -126,10 +126,18 @@ def _map_loss(
     )
     proj = proj._replace(xy=new_packed[:, 0:2], packed=new_packed)
     proj = replicate_proj(proj, ms.mesh)
-    if rs.use_pallas:
+    if rs.use_pallas and ms.mesh is not None:
+        # tile-sharded composite over the mesh (window bins built inside;
+        # the externally cached bins only serve the single-chip path)
+        from ..parallel.tile_sharded import composite_tiles_sharded
+
+        img6 = composite_tiles_sharded(proj, rs.cam, background(rs),
+                                       ms.mesh, rs)
+    elif rs.use_pallas:
         from ..ops.pallas_composite import composite_tiles_pallas
 
-        img6 = composite_tiles_pallas(proj, bins, rs.cam, background(rs))
+        img6 = composite_tiles_pallas(proj, bins, rs.cam, background(rs),
+                                      grad_bf16=rs.grad_bf16)
     else:
         img6 = composite_tiles(proj, bins, rs.cam, background(rs),
                                rs.max_per_tile, rs.chunk)
@@ -359,16 +367,23 @@ def optimize_map(
     Opt segments run as a binary decomposition over power-of-two lengths so
     the number of distinct jit shapes is bounded by len(_SEG_SIZES)."""
     sched = np.asarray(schedule)
+    # mesh + pallas: the tile-sharded composite builds window-local bins
+    # inside the loss — skip the external (global) binning dispatches
+    skip_bins = ms.mesh is not None and ms.rs.use_pallas
+
+    def seg_bins(c, kj):
+        return None if skip_bins else _map_bins(c, kj, ms)
+
     for kind, k, base_i, n in plan_segments(sched, ms):
         kj = jnp.asarray(k, jnp.int32)
         if kind == "prune":
-            bins = _map_bins(carry, kj, ms)
+            bins = seg_bins(carry, kj)
             carry = _map_prune_step(
                 carry, bins, kj, jnp.asarray(base_i, jnp.int32), kf_colors,
                 kf_depths, kf_ests, camera_extent, ms,
             )
             continue
-        bins = _map_bins(carry, kj, ms)
+        bins = seg_bins(carry, kj)
         off = 0
         for size in _SEG_SIZES:
             while n - off >= size:

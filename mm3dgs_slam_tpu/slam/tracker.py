@@ -194,10 +194,14 @@ def track_frame(
     z3 = jnp.zeros_like(T0)
     carry = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
 
+    # mesh + pallas: the tile-sharded composite bins per-window inside the
+    # loss; the external global binning dispatch would be dead work
+    skip_bins = ts.mesh is not None and ts.rs.use_pallas
+
     i = 0
     while i < ts.iters:
         pose = pose_init if i == 0 else jnp.concatenate([carry[0], carry[1]])
-        bins = _track_bins(g, pose, ts)
+        bins = None if skip_bins else _track_bins(g, pose, ts)
         n = min(rebin, ts.iters - i)
         carry = _track_segment(
             g, carry, bins, jnp.asarray(i, jnp.int32), gt_color, gt_depth,

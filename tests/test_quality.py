@@ -59,9 +59,22 @@ def test_full_niqe_via_framequality_env(tmp_path, monkeypatch, pristine_model):
     assert np.isfinite(sharp) and blurred > sharp
 
 
-def test_proxy_monotone_under_blur(monkeypatch):
+def test_shipped_model_is_default(monkeypatch):
+    """With no env var and no explicit path, the packaged pristine model
+    (assets/niqe_model.npz) loads and the full Mahalanobis NIQE runs."""
     monkeypatch.delenv("MM3DGS_NIQE_MODEL", raising=False)
     fq = FrameQuality()
+    assert fq._model is not None and fq._patch == 96
+    rng = np.random.default_rng(7)
+    img = textured_image(rng, h=192, w=192) / 255.0
+    sharp = fq(np.stack([img] * 3))
+    blurred = fq(np.stack([gaussian_filter(img, 3.0)] * 3))
+    assert np.isfinite(sharp) and blurred > sharp
+
+
+def test_proxy_monotone_under_blur(monkeypatch):
+    monkeypatch.delenv("MM3DGS_NIQE_MODEL", raising=False)
+    fq = FrameQuality(model_path="/nonexistent/niqe.npz")
     assert fq._model is None
     rng = np.random.default_rng(9)
     img = textured_image(rng) / 255.0
