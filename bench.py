@@ -46,7 +46,8 @@ def main():
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
                         max_tiles_per_gaussian=16, use_pallas=on_tpu,
                         bin_d1=8, bin_big_frac=7,
-                        grad_bf16=on_tpu)  # production default (config.py)
+                        grad_bf16=False)  # f32 grads: bf16 measured no
+                                           # in-loop win at this scale
 
     base_pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
     out = render(m.activated(), base_pose, rs)

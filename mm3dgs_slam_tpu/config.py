@@ -36,8 +36,11 @@ _DEFAULTS: dict[str, Any] = {
         "max_new_per_frame": -1,       # -1 = one candidate per pixel
         "imu_pad": 64,                 # static IMU sample capacity per frame
         "use_pallas": "auto",          # auto | never | always
-        "grad_bf16": True,             # bfloat16 per-pair backward grads
-                                       # (f32 per-gaussian accumulation)
+        "grad_bf16": False,            # bfloat16 per-pair backward grads
+                                       # (f32 accumulation; a memory-
+                                       # bandwidth knob — no measured speed
+                                       # win at 131k gaussians, so exact f32
+                                       # is the default)
         "rebin_every": 1,              # tracking binning refresh cadence
         "map_rebin_every": 1,          # mapping binning refresh cadence
         "group_mapping_schedule": False,  # contiguous per-keyframe blocks

@@ -200,22 +200,18 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu):
     # lane-max (7+ cross-lane stages on [PIX, CHUNK]) only matters on the
     # one chunk where a pixel actually crosses the threshold — guard it
     # behind a scalar branch that is almost always false.
+    # frozen_T = T at the first crossing = max of the (monotone decreasing)
+    # exclusive log-T over the below region. Two cheaper-looking variants
+    # were measured SLOWER in the 20-iteration segment loop on v5e: a scalar
+    # lax.cond guard (+3.2 ms/iter — the Mosaic branch stalls the chunk
+    # pipeline) and a first-below-edge masked row-sum on the MXU (+3.8 —
+    # a per-chunk HIGHEST [PIX,CHUNK]x[CHUNK,1] matmul costs more than the
+    # lane-max). The plain unconditional cross-lane max wins.
     any_stop = below[:, CHUNK - 1:CHUNK]
-    lT_last = lT_incl[:, CHUNK - 1:CHUNK]
-    newly = jnp.max(any_stop.astype(jnp.float32) * (1.0 - done))
-
-    def _crossing(_):
-        # frozen_T = T at the first crossing = max of the (monotone
-        # decreasing) exclusive log-T over the below region.
-        frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1,
-                         keepdims=True)
-        return jnp.where(done >= 1.0, logT,
-                         jnp.where(any_stop, frozen, lT_last))
-
-    def _plain(_):
-        return jnp.where(done >= 1.0, logT, lT_last)
-
-    logT_new = jax.lax.cond(newly > 0.0, _crossing, _plain, None)
+    frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1, keepdims=True)
+    logT_new = jnp.where(done >= 1.0, logT,
+                         jnp.where(any_stop, frozen,
+                                   lT_incl[:, CHUNK - 1:CHUNK]))
     done_new = jnp.maximum(done, any_stop.astype(jnp.float32))
     return w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat
 

@@ -103,7 +103,7 @@ class SLAM:
             use_pallas=bool(use_pallas),
             bin_d1=int(tpu["bin_d1"]),
             bin_big_frac=int(tpu["bin_big_frac"]),
-            grad_bf16=bool(tpu.get("grad_bf16", True)),
+            grad_bf16=bool(tpu.get("grad_bf16", False)),
         )
 
         # Device mesh (tpu.mesh_devices > 1 row-shards the Gaussian map over
