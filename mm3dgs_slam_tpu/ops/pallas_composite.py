@@ -56,6 +56,10 @@ from .camera import TILE, Camera
 import os as _os
 
 CHUNK = int(_os.environ.get("MM3DGS_PL_CHUNK", "128"))
+# Early tile exit once every pixel saturates: the check is a per-chunk
+# VREG->scalar min(done) reduction + branch (the expensive class the
+# lax.cond experiment exposed); 0 disables it to walk every chunk.
+EARLY_EXIT = _os.environ.get("MM3DGS_PL_EARLY_EXIT", "1") != "0"
                     # pairs per inner step (lanes); larger chunks amortize
                     # per-chunk fixed costs against +CHUNK/2 average padding
                     # per tile segment (bins are aligned to CHUNK)
@@ -259,6 +263,8 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
     def cond(carry):
         ci, logT, done, acc = carry
+        if not EARLY_EXIT:
+            return ci < n_chunks
         return (ci < n_chunks) & (jnp.min(done) < 1.0)
 
     def body(carry):
@@ -389,6 +395,8 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
     def cond(carry):
         ci, logT, done, A_pref = carry
+        if not EARLY_EXIT:
+            return ci < n_chunks
         return (ci < n_chunks) & (jnp.min(done) < 1.0)
 
     def body(carry):
