@@ -151,6 +151,17 @@ def build_bins(
     D2 = max(max_tiles_per_gaussian, D1_)
     big_cap = max(N // big_frac, 1)
 
+    # Opacity pre-filter (exact, not an approximation): alpha = op *
+    # exp(power) with power <= 0, so op < 1/255 can never pass the
+    # compositor's alpha >= 1/255 skip rule (composite semantics,
+    # CUDA forward.cu alpha test) — such pairs contribute 0 at every pixel.
+    # The CUDA reference still bins them; dropping them here changes
+    # nothing downstream and skips dead pairs in converged maps where many
+    # gaussians idle below the pruning threshold between prunes.
+    radius = jnp.where(
+        jax.lax.stop_gradient(proj.opacity) >= (1.0 / 255.0), radius, 0
+    )
+
     # 1. depth order (culled rows last)
     order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
     xy = xy[order]

@@ -73,3 +73,25 @@ def test_pallas_backward_matches_xla():
     gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(*args)
     for a, b, name in zip(gp, gx, ["xy", "conic", "op", "feat"]):
         assert allclose_report(a, b, atol=1e-5, rtol=5e-3), name
+
+
+def test_pallas_bf16_grads_close_to_f32():
+    """grad_bf16 emits per-pair gradients in bfloat16 before the f32
+    slot-table accumulation — per-gaussian grads must stay within bf16
+    rounding (~0.5% relative) of the exact path."""
+    cam, g, rs, proj, bins = _setup(4, n=150, n_dead=10)
+    bg = background(rs)
+    gt = jax.random.uniform(jax.random.PRNGKey(11), (6, cam.height, cam.width))
+
+    def loss(packed, bf16):
+        p = proj._replace(xy=packed[:, 0:2], conic=packed[:, 2:5],
+                          opacity=packed[:, 5], feat=packed[:, 6:12],
+                          packed=packed)
+        img = composite_tiles_pallas(p, bins, cam, bg, interpret=True,
+                                     grad_bf16=bf16)
+        return jnp.mean((img - gt) ** 2)
+
+    g32 = jax.grad(lambda x: loss(x, False))(proj.packed)
+    g16 = jax.grad(lambda x: loss(x, True))(proj.packed)
+    scale = jnp.maximum(jnp.max(jnp.abs(g32)), 1e-12)
+    assert float(jnp.max(jnp.abs(g16 - g32)) / scale) < 1e-2
