@@ -160,12 +160,16 @@ def render(
         from .pallas_composite import CHUNK as PL_CHUNK, composite_tiles_pallas
 
         if mesh is not None:
-            # tile-sharded composite: per-shard window bins built inside
-            # (parallel/tile_sharded.py); external bins do not apply
+            # tile-sharded composite (parallel/tile_sharded.py). `bins`
+            # here means the WINDOW-bins tuple from build_window_bins —
+            # a single-chip TileBins does not apply and is ignored.
             from ..parallel.tile_sharded import composite_tiles_sharded
 
-            img6 = composite_tiles_sharded(proj, rs.cam, bg, mesh, rs)
-            bins_used = None
+            win_bins = bins if (bins is not None
+                                and not isinstance(bins, TileBins)) else None
+            img6 = composite_tiles_sharded(proj, rs.cam, bg, mesh, rs,
+                                           bins=win_bins)
+            bins_used = win_bins
         else:
             if bins is None:
                 bins = build_bins(

@@ -43,52 +43,117 @@ from ..ops.projection import ProjectedGaussians
 
 GAUSS_AXIS = "gauss"
 
+# TileBins leaves shipped across the shard_map boundary when window bins
+# are cached across iterations (each leaf sharded on its leading axis)
+_BIN_FIELDS = ("pair_gauss", "pair_valid", "tile_start", "tile_count",
+               "n_pairs", "overflow", "small_slots", "big_slots",
+               "big_gauss", "big_valid")
+
 
 def tiles_per_shard(cam: Camera, n_dev: int) -> int:
     return -(-cam.n_tiles // n_dev)
 
 
-def composite_tiles_sharded(proj: ProjectedGaussians, cam: Camera,
-                            bg: jnp.ndarray, mesh: Mesh, rs,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Tile-sharded drop-in for composite_tiles_pallas (no external bins:
-    each shard builds window-local bins inside — selection is refreshed
-    every call).
+def _window_bins(packed, radius, depth, cam, rs, tpb):
+    """Shard-local window binning (call inside shard_map)."""
+    from ..ops.pallas_composite import CHUNK
 
-    Returns the assembled [NC, H, W] image (sharding propagation decides
-    where the tile all-gather happens — typically at the assembly reshape).
-    """
-    from ..ops.pallas_composite import CHUNK, NC, _composite_packed
+    idx = jax.lax.axis_index(GAUSS_AXIS)
+    lo = (idx * tpb).astype(jnp.int32)
+    proj_l = ProjectedGaussians(
+        xy=packed[:, 0:2], depth=depth, conic=packed[:, 2:5],
+        radius=radius, opacity=packed[:, 5], feat=packed[:, 6:12],
+        packed=packed,
+    )
+    bins = build_bins(
+        proj_l, cam, 0, rs.max_tiles_per_gaussian, align=CHUNK,
+        d1=rs.bin_d1, big_frac=rs.bin_big_frac, tile_lo=lo, n_local=tpb,
+    )
+    return lo, bins
 
+
+def build_window_bins(proj: ProjectedGaussians, cam: Camera, mesh: Mesh, rs):
+    """Per-shard window bins as a tuple of tile-axis-sharded arrays —
+    the sharded analogue of the single-chip cached `TileBins` loop
+    invariant. Feed the result back via `composite_tiles_sharded(...,
+    bins=...)` for as long as the selection may be reused (same cadence
+    rules as the single-chip bins cache)."""
     n_dev = mesh.devices.size
     tpb = tiles_per_shard(cam, n_dev)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+        out_specs=tuple(P(GAUSS_AXIS) for _ in _BIN_FIELDS),
         check_vma=False,
     )
-    def window_fn(packed, radius, depth):
-        idx = jax.lax.axis_index(GAUSS_AXIS)
-        lo = (idx * tpb).astype(jnp.int32)
-        proj_l = ProjectedGaussians(
-            xy=packed[:, 0:2], depth=depth, conic=packed[:, 2:5],
-            radius=radius, opacity=packed[:, 5], feat=packed[:, 6:12],
-            packed=packed,
-        )
-        bins = build_bins(
-            proj_l, cam, 0, rs.max_tiles_per_gaussian, align=CHUNK,
-            d1=rs.bin_d1, big_frac=rs.bin_big_frac, tile_lo=lo, n_local=tpb,
-        )
-        acc, tfin = _composite_packed(
-            packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
-            bins.big_slots, bins.big_gauss, bins.big_valid, bins.tile_start,
-            bins.tile_count, cam, interpret, rs.grad_bf16, lo, tpb,
-        )
-        return acc, tfin
+    def fn(packed, radius, depth):
+        _, bins = _window_bins(packed, radius, depth, cam, rs, tpb)
+        # scalars ([] n_pairs/overflow) ride as [1] so every leaf has a
+        # leading axis to shard
+        return tuple(jnp.atleast_1d(getattr(bins, f)) for f in _BIN_FIELDS)
 
-    acc, tfin = window_fn(proj.packed, proj.radius, proj.depth)
+    return fn(jax.lax.stop_gradient(proj.packed), proj.radius,
+              jax.lax.stop_gradient(proj.depth))
+
+
+def composite_tiles_sharded(proj: ProjectedGaussians, cam: Camera,
+                            bg: jnp.ndarray, mesh: Mesh, rs,
+                            interpret: bool = False,
+                            bins=None) -> jnp.ndarray:
+    """Tile-sharded drop-in for composite_tiles_pallas.
+
+    With `bins=None` each shard builds window-local bins inline (selection
+    refreshed every call); pass `build_window_bins(...)`'s result to reuse
+    the selection across optimizer iterations (the sharded equivalent of
+    the single-chip bins cache).
+
+    Returns the assembled [NC, H, W] image (sharding propagation decides
+    where the tile all-gather happens — typically at the assembly reshape).
+    """
+    from ..ops.pallas_composite import NC, _composite_packed
+
+    n_dev = mesh.devices.size
+    tpb = tiles_per_shard(cam, n_dev)
+
+    def composite(packed, lo, b):
+        return _composite_packed(
+            packed, b.pair_gauss, b.pair_valid, b.small_slots,
+            b.big_slots, b.big_gauss, b.big_valid, b.tile_start,
+            b.tile_count, cam, interpret, rs.grad_bf16, lo, tpb,
+        )
+
+    if bins is None:
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+            check_vma=False,
+        )
+        def window_fn(packed, radius, depth):
+            lo, b = _window_bins(packed, radius, depth, cam, rs, tpb)
+            return composite(packed, lo, b)
+
+        acc, tfin = window_fn(proj.packed, proj.radius, proj.depth)
+    else:
+        from ..ops.binning import TileBins
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(),) + tuple(P(GAUSS_AXIS) for _ in _BIN_FIELDS),
+            out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+            check_vma=False,
+        )
+        def window_fn_cached(packed, *leaves):
+            d = dict(zip(_BIN_FIELDS, leaves))
+            d["n_pairs"] = d["n_pairs"][0]
+            d["overflow"] = d["overflow"][0]
+            b = TileBins(**d)
+            idx = jax.lax.axis_index(GAUSS_AXIS)
+            lo = (idx * tpb).astype(jnp.int32)
+            return composite(packed, lo, b)
+
+        acc, tfin = window_fn_cached(proj.packed, *bins)
     # [n_dev * tpb, PIX, NC] sharded on the tile axis; drop the window pad
     acc = acc[: cam.n_tiles]
     tfin = tfin[: cam.n_tiles]

@@ -127,12 +127,13 @@ def _map_loss(
     proj = proj._replace(xy=new_packed[:, 0:2], packed=new_packed)
     proj = replicate_proj(proj, ms.mesh)
     if rs.use_pallas and ms.mesh is not None:
-        # tile-sharded composite over the mesh (window bins built inside;
-        # the externally cached bins only serve the single-chip path)
+        # tile-sharded composite over the mesh; `bins` is the window-bins
+        # tuple (build_window_bins) cached across the segment, or None to
+        # rebin inline
         from ..parallel.tile_sharded import composite_tiles_sharded
 
         img6 = composite_tiles_sharded(proj, rs.cam, background(rs),
-                                       ms.mesh, rs)
+                                       ms.mesh, rs, bins=bins)
     elif rs.use_pallas:
         from ..ops.pallas_composite import composite_tiles_pallas
 
@@ -178,6 +179,11 @@ def _map_bins(carry: MapCarry, k: jnp.ndarray, ms: MapOptSettings):
     pose = jax.lax.stop_gradient(carry.kf_poses[k])
     proj = project_for_pose(m.activated(), pose, rs)
     proj = replicate_proj(proj, ms.mesh)
+    if rs.use_pallas and ms.mesh is not None:
+        # tile-sharded: per-shard window bins (the sharded bins cache)
+        from ..parallel.tile_sharded import build_window_bins
+
+        return build_window_bins(proj, rs.cam, ms.mesh, rs)
     align = 0
     if rs.use_pallas:
         from ..ops.pallas_composite import CHUNK as _PL_CHUNK
@@ -367,23 +373,16 @@ def optimize_map(
     Opt segments run as a binary decomposition over power-of-two lengths so
     the number of distinct jit shapes is bounded by len(_SEG_SIZES)."""
     sched = np.asarray(schedule)
-    # mesh + pallas: the tile-sharded composite builds window-local bins
-    # inside the loss — skip the external (global) binning dispatches
-    skip_bins = ms.mesh is not None and ms.rs.use_pallas
-
-    def seg_bins(c, kj):
-        return None if skip_bins else _map_bins(c, kj, ms)
-
     for kind, k, base_i, n in plan_segments(sched, ms):
         kj = jnp.asarray(k, jnp.int32)
         if kind == "prune":
-            bins = seg_bins(carry, kj)
+            bins = _map_bins(carry, kj, ms)
             carry = _map_prune_step(
                 carry, bins, kj, jnp.asarray(base_i, jnp.int32), kf_colors,
                 kf_depths, kf_ests, camera_extent, ms,
             )
             continue
-        bins = seg_bins(carry, kj)
+        bins = _map_bins(carry, kj, ms)
         off = 0
         for size in _SEG_SIZES:
             while n - off >= size:

@@ -116,12 +116,18 @@ def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     from ..ops.render import project_for_pose
 
     rs = ts.rs
+    proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
+    if ts.mesh is not None and rs.use_pallas:
+        # tile-sharded: per-shard window bins (the sharded bins cache)
+        from ..parallel.tile_sharded import build_window_bins
+
+        proj = replicate_proj(proj, ts.mesh)
+        return build_window_bins(proj, rs.cam, ts.mesh, rs)
     align = 0
     if rs.use_pallas:
         from ..ops.pallas_composite import CHUNK as _PL_CHUNK
 
         align = _PL_CHUNK
-    proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
     proj = replicate_proj(proj, ts.mesh)
     return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
                       align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac)
@@ -194,14 +200,10 @@ def track_frame(
     z3 = jnp.zeros_like(T0)
     carry = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
 
-    # mesh + pallas: the tile-sharded composite bins per-window inside the
-    # loss; the external global binning dispatch would be dead work
-    skip_bins = ts.mesh is not None and ts.rs.use_pallas
-
     i = 0
     while i < ts.iters:
         pose = pose_init if i == 0 else jnp.concatenate([carry[0], carry[1]])
-        bins = None if skip_bins else _track_bins(g, pose, ts)
+        bins = _track_bins(g, pose, ts)
         n = min(rebin, ts.iters - i)
         carry = _track_segment(
             g, carry, bins, jnp.asarray(i, jnp.int32), gt_color, gt_depth,

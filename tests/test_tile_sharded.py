@@ -68,3 +68,34 @@ def test_gradients_match_single_device():
     assert np.allclose(float(l8), float(l1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
                                atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cached_window_bins_match_inline():
+    """build_window_bins + composite(bins=...) must equal the inline-binning
+    sharded path (and therefore the single-device path) in fwd and grad."""
+    from mm3dgs_slam_tpu.parallel.tile_sharded import build_window_bins
+
+    cam, rs, proj, bg = _setup()
+    mesh = make_mesh(8)
+    wbins = build_window_bins(proj, cam, mesh, rs)
+
+    img_inline = composite_tiles_sharded(proj, cam, bg, mesh, rs,
+                                         interpret=True)
+    img_cached = composite_tiles_sharded(proj, cam, bg, mesh, rs,
+                                         interpret=True, bins=wbins)
+    np.testing.assert_allclose(np.asarray(img_cached),
+                               np.asarray(img_inline), atol=1e-6)
+
+    tgt = jnp.full((6, cam.height, cam.width), 0.25, jnp.float32)
+
+    def loss(packed):
+        p = proj._replace(xy=packed[:, 0:2], conic=packed[:, 2:5],
+                          opacity=packed[:, 5], feat=packed[:, 6:12],
+                          packed=packed)
+        img = composite_tiles_sharded(p, cam, bg, mesh, rs, interpret=True,
+                                      bins=wbins)
+        return jnp.sum(jnp.abs(img - tgt))
+
+    gc = jax.grad(loss)(proj.packed)
+    assert bool(jnp.all(jnp.isfinite(gc)))
