@@ -20,9 +20,11 @@ TILE WINDOWS, the real multi-chip path to real-time (PROFILE.md roadmap #5):
     ~7 MB at 640x480 — one cheap ICI all-gather whose transpose scatters
     the per-pixel cotangents back to the owning shard).
 
-Binning runs inside the per-iteration loss here (window-local, 1/n_dev of
-the global candidate load per chip); the single-chip bins-as-loop-invariant
-caching does not apply across shards yet.
+Binning is window-local (1/n_dev of the global tile load per chip) and can
+either run inline in the loss (bins=None) or be built once per segment with
+`build_window_bins` and reused across optimizer iterations — the sharded
+analogue of the single-chip bins-as-loop-invariant cache (the tracker and
+mapper segment drivers use this).
 
 Reference behavior contract: identical to ops/render.py's single-device
 pallas path — same compositing semantics (slam/renderer.py:196-214), same

@@ -64,6 +64,13 @@ def covisibility_fraction(
 
 
 @partial(jax.jit, static_argnames=("cam", "edge"))
+def _covis_fractions_jit(pts, valid, poses, cam, edge):
+    def one(p):
+        return covisibility_fraction.__wrapped__(pts, valid, p, cam, edge)
+
+    return jax.vmap(one)(poses)
+
+
 def covisibility_fractions_batch(
     pts: jnp.ndarray,
     valid: jnp.ndarray,
@@ -71,10 +78,22 @@ def covisibility_fractions_batch(
     cam: Camera,
     edge: int = 0,
 ) -> jnp.ndarray:
-    def one(p):
-        return covisibility_fraction.__wrapped__(pts, valid, p, cam, edge)
+    """Covisibility fraction of `pts` against each candidate pose.
 
-    return jax.vmap(one)(candidate_poses)
+    The keyframe count grows by one every kf_every frames; compiling a new
+    [K, 7] program per keyframe cost minutes each through the remote
+    compiler, so the batch is PADDED to blocks of 8 identity poses (their
+    fractions are computed and discarded) and the whole pipeline is jitted —
+    recompiles happen every 8th keyframe instead of every one."""
+    k = candidate_poses.shape[0]
+    kp = -(-k // 8) * 8
+    if kp > k:
+        pad = jnp.tile(
+            jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], candidate_poses.dtype)[None],
+            (kp - k, 1),
+        )
+        candidate_poses = jnp.concatenate([candidate_poses, pad])
+    return _covis_fractions_jit(pts, valid, candidate_poses, cam, edge)[:k]
 
 
 class NewGaussianStats(NamedTuple):
