@@ -7,11 +7,19 @@ plain Python floats baked into the program.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
-TILE = 16  # pixel tile edge used by the rasterizer's binning grid
+# Pixel tile edge used by the rasterizer's binning grid. The reference CUDA
+# rasterizer hardcodes 16x16 blocks (one thread per pixel); here the tile is
+# the Pallas kernel's sublane extent, and the best value depends on splat
+# scale: every (gaussian, tile) pair costs TILE*TILE pixels of VPU work, so
+# pixel-scale splats waste most of a 16x16 tile while big splats amortize the
+# per-chunk fixed costs better. Env knob for measurement; import-time constant
+# so jitted programs specialize on it.
+TILE = int(os.environ.get("MM3DGS_TILE", "16"))
 
 
 class Camera(NamedTuple):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .camera import Camera
+from .camera import TILE, Camera
 from .projection import ProjectedGaussians
 
 
@@ -49,12 +49,13 @@ def composite_oracle(
         # Tile-rect mask: CUDA only composites a Gaussian into pixels of tiles
         # its [center +- radius] box overlaps (getRect semantics).
         r = grad.astype(jnp.float32)
-        x0 = jnp.clip(jnp.floor((gxy[0] - r) / 16.0), 0, tiles_x).astype(jnp.int32)
-        x1 = jnp.clip(jnp.floor((gxy[0] + r + 15.0) / 16.0), 0, tiles_x).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor((gxy[1] - r) / 16.0), 0, tiles_y).astype(jnp.int32)
-        y1 = jnp.clip(jnp.floor((gxy[1] + r + 15.0) / 16.0), 0, tiles_y).astype(jnp.int32)
+        t = float(TILE)
+        x0 = jnp.clip(jnp.floor((gxy[0] - r) / t), 0, tiles_x).astype(jnp.int32)
+        x1 = jnp.clip(jnp.floor((gxy[0] + r + t - 1) / t), 0, tiles_x).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor((gxy[1] - r) / t), 0, tiles_y).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((gxy[1] + r + t - 1) / t), 0, tiles_y).astype(jnp.int32)
         in_rect = (
-            (pixx >= x0 * 16) & (pixx < x1 * 16) & (pixy >= y0 * 16) & (pixy < y1 * 16)
+            (pixx >= x0 * t) & (pixx < x1 * t) & (pixy >= y0 * t) & (pixy < y1 * t)
         )
         contribute = (power <= 0.0) & (alpha >= (1.0 / 255.0)) & (grad > 0) & in_rect
         alpha = jnp.where(contribute, alpha, 0.0)
