@@ -38,14 +38,16 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     m, cam = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
     adam = G.init_adam(m)
-    # Knobs sized to the scene's measured binning stats (53.8k gaussians
-    # cover >4 tiles, 17.0k cover >8, max rect 12) so NOTHING is silently
-    # truncated: d1=8 small tier + 18.7k-slot big tier at D2=16. The
-    # round-1 bench (d1=4, big_frac=16, D2=64) overflowed the big tier and
-    # quietly dropped ~45k gaussians; `overflow` is now asserted False.
+    # Knobs sized to the scene's measured POST-CULL binning stats (the
+    # tight alpha cull + compaction drops 646k of the rect-box pairs to
+    # 386k live ones and tiers by live-tile count) so NOTHING is silently
+    # truncated: d1=4 small tier + 18.7k-slot big tier at D2=16, verified
+    # by the asserted-False `overflow` flag below. The round-1 bench
+    # (positional d1=4, big_frac=16, D2=64) overflowed the big tier and
+    # quietly dropped ~45k gaussians.
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
                         max_tiles_per_gaussian=16, use_pallas=on_tpu,
-                        bin_d1=8, bin_big_frac=7,
+                        bin_d1=4, bin_big_frac=7,
                         grad_bf16=False)  # f32 grads: bf16 measured no
                                            # in-loop win at this scale
 

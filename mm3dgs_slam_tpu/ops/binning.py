@@ -77,6 +77,67 @@ def _candidate_tiles(x0, rect_w, y0, count, n_slots, tiles_x):
     return jnp.where(d < count[:, None], tile, -1)
 
 
+def _tile_alpha_cull(tile, xy, conic, tau, tiles_x):
+    """Drop candidate (gaussian, tile) pairs that are provably no-ops.
+
+    The rect test (CUDA getRect semantics) keeps every tile of the radius
+    BOUNDING BOX, but a pair only ever contributes where its per-pixel
+    alpha = op * exp(power) clears the compositor's 1/255 skip rule — the
+    box corners of a multi-tile splat never do. With Q(d) = -power =
+    0.5*a*dx^2 + b*dx*dy + 0.5*c*dy^2 (convex: conic is the PD inverse
+    2D covariance), the EXACT minimum of Q over the tile's pixel box is
+    either the interior stationary point (the center, Q=0) or the minimum
+    over one of the 4 edges — each a 1D convex quadratic with a closed-form
+    clamped argmin. Pairs with min Q > log(255*op) have alpha < 1/255 at
+    EVERY pixel of the tile, so every compositor (oracle / XLA / Pallas)
+    already treats them as exact zeros; culling them here only removes dead
+    kernel chunks. A small fp-error margin keeps any pair whose bound is
+    within the kernels' evaluation-order error envelope, so the output
+    stays bit-identical. (Public-3DGS analogue: the "tight culling" /
+    SnugBox refinement of the CUDA rasterizer's getRect.)
+
+    tile: [M, D] global tile ids (-1 = empty); xy/conic/tau: per-row
+    gaussian params aligned with tile's rows. Returns tile with culled
+    entries set to -1."""
+    t = float(TILE)
+    tsafe = jnp.maximum(tile, 0)
+    tx = tsafe % tiles_x
+    ty = tsafe // tiles_x
+    lx = tx.astype(jnp.float32) * t - xy[:, 0:1]
+    ly = ty.astype(jnp.float32) * t - xy[:, 1:2]
+    hx = lx + (t - 1.0)
+    hy = ly + (t - 1.0)
+    a = conic[:, 0:1]
+    b = conic[:, 1:2]
+    c = conic[:, 2:3]
+
+    def qval(x, y):
+        return 0.5 * a * x * x + b * x * y + 0.5 * c * y * y
+
+    def edge_x(ex):  # x = ex fixed, minimize over y in [ly, hy]
+        ystar = jnp.clip(-b * ex / jnp.maximum(c, 1e-12), ly, hy)
+        return qval(ex, ystar)
+
+    def edge_y(ey):
+        xstar = jnp.clip(-b * ey / jnp.maximum(a, 1e-12), lx, hx)
+        return qval(xstar, ey)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)),
+        jnp.minimum(edge_y(ly), edge_y(hy)),
+    )
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+    qmin = jnp.where(inside, 0.0, qmin)
+    # fp-error envelope of the kernels' own power evaluation (different
+    # associativity): absolute floor + a few ulps of the largest term.
+    mx = jnp.maximum(jnp.abs(lx), jnp.abs(hx))
+    my = jnp.maximum(jnp.abs(ly), jnp.abs(hy))
+    margin = 1e-3 + 1e-5 * (0.5 * a * mx * mx + jnp.abs(b) * mx * my
+                            + 0.5 * c * my * my)
+    keep = (tile >= 0) & (qmin <= tau[:, None] + margin)
+    return jnp.where(keep, tile, -1)
+
+
 @partial(jax.jit, static_argnames=("cam", "max_tiles_per_gaussian", "d1"))
 def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
                         max_tiles_per_gaussian: int = 64, d1: int = D1):
@@ -102,7 +163,7 @@ def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
 @partial(
     jax.jit,
     static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align",
-                     "d1", "big_frac", "n_local"),
+                     "d1", "big_frac", "n_local", "tight_cull"),
 )
 def build_bins(
     proj: ProjectedGaussians,
@@ -114,6 +175,7 @@ def build_bins(
     big_frac: int = BIG_FRAC,
     tile_lo=None,
     n_local: int | None = None,
+    tight_cull: bool = True,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
@@ -139,6 +201,9 @@ def build_bins(
         range; the emitted pair set is exactly the global set restricted to
         the window (slot d still indexes the FULL rect row-major, so the
         D2 truncation matches the global build).
+      tight_cull: drop candidate pairs whose max alpha over their tile is
+        provably < 1/255 (see _tile_alpha_cull) — exact no-ops in every
+        compositor; the switch exists only for A/B measurement.
     """
     del pair_cap
     xy = jax.lax.stop_gradient(proj.xy)
@@ -174,19 +239,38 @@ def build_bins(
     count = jnp.minimum(raw_count, D2)
     n_pairs = jnp.sum(count)
 
-    is_big = count > D1_
+    # 2. dense candidate enumeration at full D2 width, then (optionally)
+    # alpha-cull + per-row left-compaction BEFORE the tier split: a splat
+    # whose rect spans 10 tiles but only truly touches 3 stays in the cheap
+    # small tier, and d1 sizes against LIVE tiles rather than bounding-box
+    # tiles. The tier split keys off the post-cull count, so the compaction
+    # also recovers candidates the positional d1/D2 truncation would have
+    # dropped. (With tight_cull=False the compaction is the identity and
+    # this reduces exactly to the positional two-tier split.)
+    tileA = _candidate_tiles(x0, rect_w, y0, count, D2, tiles_x)
+    if tight_cull:
+        conic = jax.lax.stop_gradient(proj.conic)[order]
+        op = jax.lax.stop_gradient(proj.opacity)[order]
+        tau = jnp.log(jnp.maximum(255.0 * op, 1e-12))
+        tileA = _tile_alpha_cull(tileA, xy, conic, tau, tiles_x)
+        # left-compact kept tiles, preserving row-major order: one cross-lane
+        # sort of the [N, D2] candidate block keyed by hole-ness
+        d_iota = jnp.broadcast_to(
+            jnp.arange(D2, dtype=jnp.int32)[None, :], tileA.shape
+        )
+        ckey = jnp.where(tileA >= 0, d_iota, jnp.int32(1 << 30))
+        _, tileA = jax.lax.sort((ckey, tileA), num_keys=1, dimension=1)
+    count_kept = jnp.sum((tileA >= 0).astype(jnp.int32), axis=1)
+    n_pairs = jnp.sum(count_kept)
+    is_big = count_kept > D1_
 
-    # 2a. small tier: [N, D1] dense candidates
-    small_count = jnp.where(is_big, 0, count)
-    tile1 = _candidate_tiles(x0, rect_w, y0, small_count, D1_, tiles_x)
+    # 2a. small tier: first d1 compacted slots of small rows
+    tile1 = jnp.where(is_big[:, None], -1, tileA[:, :D1_])
 
     # 2b. big tier: compact big gaussians (depth order preserved — stable)
     big_sel = jnp.argsort(~is_big, stable=True).astype(jnp.int32)[:big_cap]
     big_valid = is_big[big_sel]
-    big_count = jnp.where(big_valid, count[big_sel], 0)
-    tile2 = _candidate_tiles(
-        x0[big_sel], rect_w[big_sel], y0[big_sel], big_count, D2, tiles_x
-    )
+    tile2 = jnp.where(big_valid[:, None], tileA[big_sel], -1)
 
     if n_local is not None:
         # window-localize: keep only candidates in [tile_lo, tile_lo+n_local)

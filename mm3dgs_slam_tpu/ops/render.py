@@ -56,7 +56,9 @@ class RenderSettings(NamedTuple):
     max_tiles_per_gaussian: int = 64
     use_oracle: bool = False  # exact dense compositor (tests / tiny scenes)
     use_pallas: bool = False  # pallas kernel compositor (TPU fast path)
-    bin_d1: int = 8           # binning small-tier slots/gaussian (ops/binning.py)
+    bin_d1: int = 8           # binning small-tier slots/gaussian, sized
+                              # against POST-cull live tiles (ops/binning.py);
+                              # 4 fits pixel-scale scenes, watch `overflow`
     bin_big_frac: int = 8     # binning big-tier capacity divisor
     grad_bf16: bool = False   # emit per-pair backward grads as bfloat16
                               # (halves the slot-table reduce bytes; the
