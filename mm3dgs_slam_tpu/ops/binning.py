@@ -199,8 +199,9 @@ def build_bins(
         with window-LOCAL tile ids in the output tables. Used by the
         tile-sharded composite: each mesh shard bins its own contiguous
         range; the emitted pair set is exactly the global set restricted to
-        the window (slot d still indexes the FULL rect row-major, so the
-        D2 truncation matches the global build).
+        the window (the cull + compaction + tier split run on the GLOBAL
+        candidate set before localization, so slot layout and truncation
+        match the global build shard-for-shard).
       tight_cull: drop candidate pairs whose max alpha over their tile is
         provably < 1/255 (see _tile_alpha_cull) — exact no-ops in every
         compositor; the switch exists only for A/B measurement.

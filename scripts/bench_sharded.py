@@ -68,8 +68,52 @@ def main():
         float(loss)
         return (time.perf_counter() - t0) / REPS * 1e3
 
+    def bench_tile_sharded(n_devices):
+        """Tile-sharded composite loss+grad (cached window bins): constant
+        TOTAL work, per-device window = 1/n_devices of the tiles — on one
+        real core t_n/t_1 ~= 1.0 means the sharded program adds nothing
+        beyond the (serialized) same work; the excess is the all-gather /
+        reduce-scatter overhead real ICI would take in bandwidth."""
+        from mm3dgs_slam_tpu.ops.render import background, project_for_pose
+        from mm3dgs_slam_tpu.parallel.tile_sharded import (
+            build_window_bins,
+            composite_tiles_sharded,
+        )
+
+        m, cam = _build_scene(1 << 15, cam_hw=(120, 160))
+        rs = RenderSettings(cam=cam, pair_cap=1 << 18, max_per_tile=1024,
+                            chunk=32, max_tiles_per_gaussian=16,
+                            use_pallas=True)
+        mesh = make_mesh(n_devices)
+        g = m.activated()
+        pose0 = pose
+        proj = jax.jit(lambda p: project_for_pose(g, p, rs))(pose0)
+        bins = build_window_bins(proj, cam, mesh, rs)
+        bg = background(rs)
+        gt = jnp.zeros((3, cam.height, cam.width), jnp.float32)
+
+        @jax.jit
+        def lossgrad(p):
+            def l(pp):
+                pr = project_for_pose(g, pp, rs)
+                img = composite_tiles_sharded(pr, cam, bg, mesh, rs,
+                                              interpret=True, bins=bins)
+                return jnp.mean(jnp.abs(img[:3] - gt))
+
+            return jax.value_and_grad(l)(p)
+
+        v, _ = lossgrad(pose0)
+        float(v)
+        t0 = time.perf_counter()
+        for i in range(REPS):
+            v, _ = lossgrad(pose0.at[4].add(1e-4 * i))
+        float(v)
+        return (time.perf_counter() - t0) / REPS * 1e3
+
     t1 = bench(1)
     t8 = bench(N_DEV)
+    ts1 = bench_tile_sharded(1)
+    ts8 = bench_tile_sharded(N_DEV)
     # All 8 virtual devices share ONE core, so the 8x-gaussian run does 8x
     # the arithmetic on the same silicon — wall-clock weak scaling cannot
     # show here. The honest shape metric is the SPMD overhead factor
@@ -82,6 +126,9 @@ def main():
         "mesh_8_ms": round(t8, 2),
         "spmd_overhead_factor": round(t8 / (N_DEV * t1), 3),
         "n_per_device": N_PER_DEV,
+        "tile_sharded_loss_grad_mesh_1_ms": round(ts1, 2),
+        "tile_sharded_loss_grad_mesh_8_ms": round(ts8, 2),
+        "tile_sharded_strong_overhead_factor": round(ts8 / ts1, 3),
         "note": "virtual CPU mesh on one core: program shape only; run on "
                 "a pod slice for real weak scaling",
     }))
