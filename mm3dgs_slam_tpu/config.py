@@ -33,6 +33,8 @@ _DEFAULTS: dict[str, Any] = {
         "max_tiles_per_gaussian": 64,
         "bin_d1": 8,                   # binning small-tier slots/gaussian
         "bin_big_frac": 8,             # binning big-tier capacity divisor
+        "bin_d2_live": 0,              # post-cull big-tier width cap
+                                       # (0 = full max_tiles_per_gaussian)
         "max_new_per_frame": -1,       # -1 = one candidate per pixel
         "imu_pad": 64,                 # static IMU sample capacity per frame
         "use_pallas": "auto",          # auto | never | always

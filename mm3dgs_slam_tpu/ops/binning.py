@@ -163,7 +163,7 @@ def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
 @partial(
     jax.jit,
     static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align",
-                     "d1", "big_frac", "n_local", "tight_cull"),
+                     "d1", "big_frac", "n_local", "tight_cull", "d2_live"),
 )
 def build_bins(
     proj: ProjectedGaussians,
@@ -176,6 +176,7 @@ def build_bins(
     tile_lo=None,
     n_local: int | None = None,
     tight_cull: bool = True,
+    d2_live: int = 0,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
@@ -205,6 +206,14 @@ def build_bins(
       tight_cull: drop candidate pairs whose max alpha over their tile is
         provably < 1/255 (see _tile_alpha_cull) — exact no-ops in every
         compositor; the switch exists only for A/B measurement.
+      d2_live: static POST-cull width of the big tier (0 = full D2).
+        Candidates are still enumerated over the first D2 rect cells, but
+        after the cull compacts live tiles left, a big row keeps only its
+        first `d2_live` live tiles — with pixel-scale splats the live count
+        is far below the rect-cell count (measured max 7 of 16 at the
+        bench scene), so a tight cap shrinks the big reverse table and the
+        pair buffer by ~2x with zero loss; breaches set `overflow` (the
+        per-frame host check surfaces them).
     """
     del pair_cap
     xy = jax.lax.stop_gradient(proj.xy)
@@ -268,10 +277,16 @@ def build_bins(
     # 2a. small tier: first d1 compacted slots of small rows
     tile1 = jnp.where(is_big[:, None], -1, tileA[:, :D1_])
 
-    # 2b. big tier: compact big gaussians (depth order preserved — stable)
+    # 2b. big tier: compact big gaussians (depth order preserved — stable),
+    # at the post-cull live width (see d2_live docstring)
+    D2L = max(d2_live, D1_) if (tight_cull and 0 < d2_live < D2) else D2
     big_sel = jnp.argsort(~is_big, stable=True).astype(jnp.int32)[:big_cap]
     big_valid = is_big[big_sel]
-    tile2 = jnp.where(big_valid[:, None], tileA[big_sel], -1)
+    tile2 = jnp.where(big_valid[:, None], tileA[big_sel][:, :D2L], -1)
+    live_trunc = (
+        jnp.any(count_kept > D2L) if D2L < D2
+        else jnp.asarray(False)
+    )
 
     if n_local is not None:
         # window-localize: keep only candidates in [tile_lo, tile_lo+n_local)
@@ -331,6 +346,7 @@ def build_bins(
     overflow = (
         jnp.any(raw_count > D2)
         | (jnp.sum(is_big.astype(jnp.int32)) > big_cap)
+        | live_trunc
     )
 
     small_slots = big_slots = big_gauss_out = big_valid_out = None
@@ -386,7 +402,7 @@ def build_bins(
             jnp.arange(N, dtype=jnp.int32)
         )
         small_slots = small_depth_order[rank_of]
-        big_slots = slot_of_cand[N * D1_:].reshape(big_cap, D2)
+        big_slots = slot_of_cand[N * D1_:].reshape(big_cap, D2L)
         big_gauss_out = order[big_sel]
         big_valid_out = big_valid
 

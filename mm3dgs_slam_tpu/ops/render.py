@@ -60,6 +60,8 @@ class RenderSettings(NamedTuple):
                               # against POST-cull live tiles (ops/binning.py);
                               # 4 fits pixel-scale scenes, watch `overflow`
     bin_big_frac: int = 8     # binning big-tier capacity divisor
+    bin_d2_live: int = 0      # post-cull big-tier width cap (0 = full
+                              # max_tiles_per_gaussian; see build_bins)
     grad_bf16: bool = False   # emit per-pair backward grads as bfloat16
                               # (halves the slot-table reduce bytes; the
                               # per-gaussian accumulation stays f32)
@@ -176,7 +178,7 @@ def render(
             if bins is None:
                 bins = build_bins(
                     proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                    align=PL_CHUNK, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
+                    align=PL_CHUNK, d1=rs.bin_d1, big_frac=rs.bin_big_frac, d2_live=rs.bin_d2_live,
                 )
             img6 = composite_tiles_pallas(proj, bins, rs.cam, bg,
                                           grad_bf16=rs.grad_bf16)
@@ -185,7 +187,7 @@ def render(
         if bins is None:
             bins = build_bins(
                 proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                d1=rs.bin_d1, big_frac=rs.bin_big_frac,
+                d1=rs.bin_d1, big_frac=rs.bin_big_frac, d2_live=rs.bin_d2_live,
             )
         img6 = composite_tiles(
             proj, bins, rs.cam, bg, rs.max_per_tile, rs.chunk

@@ -69,7 +69,8 @@ def _window_bins(packed, radius, depth, cam, rs, tpb):
     )
     bins = build_bins(
         proj_l, cam, 0, rs.max_tiles_per_gaussian, align=CHUNK,
-        d1=rs.bin_d1, big_frac=rs.bin_big_frac, tile_lo=lo, n_local=tpb,
+        d1=rs.bin_d1, big_frac=rs.bin_big_frac, d2_live=rs.bin_d2_live,
+        tile_lo=lo, n_local=tpb,
     )
     return lo, bins
 

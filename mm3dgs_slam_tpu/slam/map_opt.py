@@ -190,7 +190,8 @@ def _map_bins(carry: MapCarry, k: jnp.ndarray, ms: MapOptSettings):
 
         align = _PL_CHUNK
     return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac)
+                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
+                      d2_live=rs.bin_d2_live)
 
 
 def _grad_and_stats(c: MapCarry, bins, k, i, kf_colors, kf_depths, kf_ests,

@@ -103,6 +103,7 @@ class SLAM:
             use_pallas=bool(use_pallas),
             bin_d1=int(tpu["bin_d1"]),
             bin_big_frac=int(tpu["bin_big_frac"]),
+            bin_d2_live=int(tpu.get("bin_d2_live", 0)),
             grad_bf16=bool(tpu.get("grad_bf16", False)),
         )
 

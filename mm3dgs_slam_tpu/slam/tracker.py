@@ -130,7 +130,8 @@ def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
         align = _PL_CHUNK
     proj = replicate_proj(proj, ts.mesh)
     return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
-                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac)
+                      align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
+                      d2_live=rs.bin_d2_live)
 
 
 @partial(jax.jit, static_argnames=("ts", "n_iters"))

@@ -34,23 +34,26 @@ def main():
                         bin_d1=8, bin_big_frac=7)
     base = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
 
-    def mkbins(p, cull, d1):
+    def mkbins(p, cull, d1, d2l):
         return build_bins(
             project_for_pose(g, p, rs), cam, 0, rs.max_tiles_per_gaussian,
             align=CHUNK, d1=d1, big_frac=rs.bin_big_frac,
-            tight_cull=cull)
+            tight_cull=cull, d2_live=d2l)
 
-    for cull, d1 in ((False, 8), (True, 8), (True, 4)):
-        b = jax.jit(lambda p: mkbins(p, cull, d1))(base)
+    for cull, d1, d2l in ((False, 8, 0), (True, 8, 0), (True, 4, 0),
+                          (True, 4, 8)):
+        b = jax.jit(lambda p: mkbins(p, cull, d1, d2l))(base)
         chunks = int(jnp.sum(-(-b.tile_count // CHUNK)))
-        print(f"tight_cull={cull} d1={d1}: pairs={int(b.n_pairs)} "
+        print(f"tight_cull={cull} d1={d1} d2_live={d2l}: "
+              f"pairs={int(b.n_pairs)} "
               f"chunks={chunks} buf={b.pair_gauss.shape[0]} "
               f"overflow={bool(b.overflow)}")
     import os
     d1_seg = int(os.environ.get("MM3DGS_SEG_D1", "4"))
-    rs = rs._replace(bin_d1=d1_seg)
-    print(f"segment loops at d1={d1_seg}")
-    bins0 = jax.jit(lambda p: mkbins(p, True, d1_seg))(base)
+    d2l_seg = int(os.environ.get("MM3DGS_SEG_D2L", "8"))
+    rs = rs._replace(bin_d1=d1_seg, bin_d2_live=d2l_seg)
+    print(f"segment loops at d1={d1_seg} d2_live={d2l_seg}")
+    bins0 = jax.jit(lambda p: mkbins(p, True, d1_seg, d2l_seg))(base)
     out0 = render(g, base, rs, bins=bins0)
     gt = jnp.clip(out0["render"], 0, 1)
     jax.block_until_ready(gt)

@@ -176,3 +176,33 @@ def test_binning_overflow_flag():
     assert bool(bins.overflow)
     bins_ok = build_bins(proj, cam, max_tiles_per_gaussian=256)
     assert not bool(bins_ok.overflow)
+
+
+def test_tight_cull_and_d2_live_exactness():
+    """The alpha cull + post-cull big-tier width cap are exactness-
+    preserving: culled pairs fail every compositor's per-pixel alpha test
+    (ops/binning._tile_alpha_cull), so the tiled image must still match the
+    oracle bit-for-tolerance, and a generous d2_live must not flag overflow
+    while a width-1 cap on a multi-tile scene must."""
+    cam = small_camera()
+    g = random_scene(jax.random.PRNGKey(11), 300, cam, n_dead=30)
+    rs = _settings(cam)
+    proj = project_for_pose(g, IDENTITY_POSE, rs)
+    bg = background(rs)
+    img_oracle = composite_oracle(proj, cam, bg)
+
+    bins = build_bins(proj, cam, rs.pair_cap, rs.max_tiles_per_gaussian,
+                      d1=4, d2_live=64)
+    assert not bool(bins.overflow)
+    img = composite_tiles(proj, bins, cam, bg, rs.max_per_tile, rs.chunk)
+    assert allclose_report(img, img_oracle, atol=2e-5, rtol=1e-4)
+
+    # culling strictly reduces the pair count vs the rect-box baseline
+    bins_nocull = build_bins(proj, cam, rs.pair_cap,
+                             rs.max_tiles_per_gaussian, tight_cull=False)
+    assert int(bins.n_pairs) < int(bins_nocull.n_pairs)
+
+    # a too-tight live cap truncates live tiles and must be flagged
+    bins_tight = build_bins(proj, cam, rs.pair_cap,
+                            rs.max_tiles_per_gaussian, d1=1, d2_live=1)
+    assert bool(bins_tight.overflow)
