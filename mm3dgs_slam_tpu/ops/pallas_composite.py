@@ -38,9 +38,9 @@ Field rows: 0 xy_x, 1 xy_y, 2:5 conic, 5 opacity, 6:12 features
 
 Semantics match ops/composite.py exactly (alpha clamp straight-through,
 1/255 skip, hard T < 1e-4 stop with frozen transmittance); the log-space
-product differs from the sequential product only by float re-association
-(~1e-6 relative). Tests cross-check all three compositors (oracle / XLA
-tiles / pallas).
+product + split-pass MXU dots differ from the sequential f32 product only
+by float re-association / re-rounding (~1e-5 relative worst-case). Tests
+cross-check all three compositors (oracle / XLA tiles / pallas).
 """
 from __future__ import annotations
 
@@ -73,6 +73,49 @@ NC = 6              # composited channels
 LOG2_STOP = -13.287712379549449   # log2(1e-4): the CUDA T<1e-4 stop rule
 _NEG = -1e30
 
+# In-kernel f32 matmul precision (TPU decomposes f32 dots into bf16 MXU
+# passes: DEFAULT=1, HIGHEST=6; Mosaic's dot lowering rejects HIGH, and a
+# manual bf16 operand-split scheme measured SLOWER than HIGHEST — the
+# VPU conversions + separate dot issues cost more than the fused passes;
+# see PROFILE.md "precision probe"). Modes:
+#   highest — every dot HIGHEST: full numerics parity (CLAUDE.md gotcha 10).
+#   mixed   — value-path dots (EWA power, transmittance cumsum, feature
+#             accumulation) stay HIGHEST; gradient-path dots (dfeat, fdc,
+#             r-cumsum, moment reduction S) run DEFAULT. One bf16 pass puts
+#             ~0.4% relative rounding on per-pair gradients — the same
+#             error class as the e2e-validated grad_bf16 emission knob
+#             (accumulation stays f32); the forward image is bit-identical
+#             to "highest".
+#   default — every dot DEFAULT (fast, ~0.3% image error: probe use only).
+_PREC_MODE = _os.environ.get("MM3DGS_PL_PRECISION", "mixed")
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+    "mixed": jax.lax.Precision.HIGHEST,
+}[_PREC_MODE]
+_GPREC = (jax.lax.Precision.DEFAULT if _PREC_MODE == "mixed"
+          else _PREC)
+# Forward-kernel split-dot variant knob (scripts/probe_fwd_split.py):
+#   v0 = HIGHEST everywhere; v1 = power via 3 DEFAULT passes on bf16-split
+#   coefs; v2 = v1 + cumsum via 3 passes on bf16-split s; v3 = v2 + acc via
+#   3 passes (2-term splits of w and feat). v1/v2 are f32-grade (the split
+#   operand is tiny or the other operand is exactly bf16); v3's acc is
+#   ~17-bit (image max rel err 7e-6 vs v0 on the bench scene — inside the
+#   compositor-agreement tolerance class). Measured fwd 8.74 -> 7.44
+#   ms/iter v0 -> v3 (−15%); v3 is the default.
+_FWD_SPLIT = _os.environ.get("MM3DGS_PL_FWD_SPLIT", "v3")
+
+
+def _split3(x):
+    """x as 3 f32 arrays each exactly bf16-representable (sum ~= x to
+    2^-27 rel): feeding them to DEFAULT dots loses nothing to the bf16
+    input conversion, so 3 passes reproduce a HIGHEST dot when the other
+    operand is already exact in bf16."""
+    h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - h1
+    h2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return h1, h2, r - h2
+
 
 def pack_pairs(proj_packed, pair_gauss, pair_valid=None):
     """Gather per-pair data into pair order, field-major [NF, buf_cap].
@@ -96,19 +139,22 @@ def _triu_ones():
     return (r <= c).astype(jnp.float32)
 
 
-def _incl_cumsum(x, triu):
+def _incl_cumsum(x, triu, prec=None):
     """Inclusive cumsum along lanes of [PIX, CHUNK]: one [PIX, SUB] x
     [SUB, SUB] upper-triangular MXU matmul per sub-block with a [PIX, 1]
-    carry between blocks — per-pair MXU cost stays O(SUB) as CHUNK grows."""
+    carry between blocks — per-pair MXU cost stays O(SUB) as CHUNK grows.
+    `prec`: dot precision (value-path transmittance cumsum runs _PREC,
+    the backward's r-cumsum runs _GPREC)."""
+    prec = _PREC if prec is None else prec
     if CHUNK == SUB:
         return jax.lax.dot(x, triu, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=prec)
     parts = []
     carry = jnp.zeros((x.shape[0], 1), jnp.float32)
     for k in range(CHUNK // SUB):
         inc = jax.lax.dot(x[:, k * SUB:(k + 1) * SUB], triu,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST) + carry
+                          precision=prec) + carry
         parts.append(inc)
         carry = inc[:, SUB - 1:SUB]
     return jnp.concatenate(parts, axis=1)
@@ -149,8 +195,34 @@ def _power_coefs(data, ox, oy):
     ), xl, yl
 
 
-def _chunk_forward(data, basis, ox, oy, logT, done, triu):
+def _chunk_forward(data, basis, ox, oy, logT, done, triu,
+                   gradient_walk=False):
     """Shared per-chunk forward math, transmittance in log2 space.
+
+    `gradient_walk`: the FORWARD kernel always re-walks at HIGHEST (the
+    image is the parity surface; gradient_walk=False). The BACKWARD kernel
+    reconstructs these values only to weight GRADIENTS, so in mixed mode
+    it sets gradient_walk=True, which applies three compensated shortcuts
+    (measured together at ~-3 ms/iter on the bench scene, PROFILE.md):
+
+    * power via TWO DEFAULT MXU passes on bf16-split coefs. One plain
+      DEFAULT pass rounds coefs to bf16 (rel 2^-9) -> power abs error
+      ~0.02-0.08 -> exp turns that into 2-8% alpha error, and 1/(1-alpha)
+      amplifies ~100x near the 0.99 clamp (measured 25-32% max dpacked
+      error). Splitting the [8, CHUNK] coefs (tiny: the expensive failed
+      experiment split the [PIX, CHUNK] operands) restores ~17-bit power
+      at +1 cheap pass: alpha rel err ~1e-4, 1/(1-alpha) err ~1% worst.
+    * transmittance cumsum at DEFAULT: s rounded to bf16 gives T_j a
+      ~1-3% error for pairs deep behind high-alpha splats — plain
+      gradient noise at magnitudes Adam's noise floor dwarfs.
+    * power clamped to 0 instead of the `power <= 0` skip: the EWA
+      exponent is mathematically <= 0 (negative-definite quadratic); the
+      skip only catches fp noise (reference CUDA has the same test), but
+      under a rounded walk it can FLIP for near-center pixels and drop a
+      FULL-magnitude gradient.
+
+    highest mode (and interpret mode) never sets gradient_walk: the
+    backward replays the forward bit-exactly.
 
     data: [NF, CHUNK] field-major slab; basis: [PIX, 8] (see _pix_basis);
     (ox, oy): tile-origin scalars; logT/done: [PIX, 1]. Returns
@@ -163,11 +235,26 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu):
     op = data[5:6, :]
     feat = data[6:6 + NC, :]
     coefs, xl, yl = _power_coefs(data, ox, oy)
-    power = jax.lax.dot(basis, coefs, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [PIX, CHUNK]
+    if gradient_walk:
+        c_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
+        c_lo = coefs - c_hi
+        power = (
+            jax.lax.dot(basis, c_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(basis, c_lo, preferred_element_type=jnp.float32)
+        )
+        power = jnp.minimum(power, 0.0)
+    elif _FWD_SPLIT != "v0":
+        power = sum(jax.lax.dot(basis, c, preferred_element_type=jnp.float32)
+                    for c in _split3(coefs))
+    else:
+        power = jax.lax.dot(basis, coefs,
+                            preferred_element_type=jnp.float32,
+                            precision=_PREC)  # [PIX, CHUNK]
     alpha_raw = op * jnp.exp(power)
     alpha = jnp.minimum(alpha_raw, 0.99)
-    contribute = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    contribute = alpha >= 1.0 / 255.0
+    if not gradient_walk:
+        contribute = (power <= 0.0) & contribute
     alpha = jnp.where(contribute, alpha, 0.0)
 
     # log-space transmittance: s = log2(1-alpha) in [log2(0.01), 0];
@@ -179,14 +266,26 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu):
     #   s <- s0 + (y - 2^s0) / (2^s0 * ln 2).
     one_m = 1.0 - alpha
     s0 = jnp.log2(one_m)
-    e0 = jnp.exp2(s0)
-    # The correction term is ~3.5e-4 relative, so an approximate reciprocal
-    # (vs an exact divide) perturbs s by ~1e-7 relative — free accuracy-wise,
-    # and the VPU's approx reciprocal is much cheaper than a true divide.
-    s = s0 + (one_m - e0) * (pl.reciprocal(e0, approx=True)
-                             * 1.4426950408889634)
+    if gradient_walk:
+        # raw hardware log2 (3.5e-4 rel) is inside the gradient error
+        # budget — skip the Newton step's exp2 + reciprocal
+        s = s0
+    else:
+        e0 = jnp.exp2(s0)
+        # The correction term is ~3.5e-4 relative, so an approximate
+        # reciprocal (vs an exact divide) perturbs s by ~1e-7 relative —
+        # free accuracy-wise, and the VPU's approx reciprocal is much
+        # cheaper than a true divide.
+        s = s0 + (one_m - e0) * (pl.reciprocal(e0, approx=True)
+                                 * 1.4426950408889634)
     s = jnp.where(alpha > 0.0, s, 0.0)  # padding lanes: exactly no-op
-    incl = _incl_cumsum(s, triu)
+    if gradient_walk:
+        incl = _incl_cumsum(s, triu, prec=jax.lax.Precision.DEFAULT)
+    elif _FWD_SPLIT in ("v2", "v3"):
+        incl = sum(_incl_cumsum(t, triu, prec=jax.lax.Precision.DEFAULT)
+                   for t in _split3(s))
+    else:
+        incl = _incl_cumsum(s, triu, prec=_PREC)
     lT_incl = logT + incl
     lT_excl = lT_incl - s
     T_j = jnp.exp2(lT_excl)
@@ -283,11 +382,22 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
         w, logT, done, _, _, _, _, _, feat = _chunk_forward(
             data, basis, ox, oy, logT, done, triu
         )
-        acc = acc + jax.lax.dot_general(
-            w, feat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [PIX, NC]
+        if _FWD_SPLIT == "v3":
+            wh = w.astype(jnp.bfloat16).astype(jnp.float32)
+            wl = w - wh
+            fh = feat.astype(jnp.bfloat16).astype(jnp.float32)
+            fl = feat - fh
+            dims = (((1,), (1,)), ((), ()))
+            dg = functools.partial(jax.lax.dot_general,
+                                   dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+            acc = acc + dg(wh, fh) + dg(wh, fl) + dg(wl, fh)
+        else:
+            acc = acc + jax.lax.dot_general(
+                w, feat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PREC,
+            )  # [PIX, NC]
         return ci + 1, logT, done, acc
 
     logT0 = jnp.zeros((PIX, 1), jnp.float32)
@@ -352,7 +462,8 @@ def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
 def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 dacc_ref, dtfin_ref, acc_ref, tfin_ref, dpair_hbm, buf,
                 dpair_buf, sems, osems,
-                *, tiles_x: int, n_tiles: int, out_dtype=jnp.float32):
+                *, tiles_x: int, n_tiles: int, out_dtype=jnp.float32,
+                gradient_walk=False):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -413,7 +524,8 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
         data = buf[jnp.where(ci == 0, pf, slot)]
         w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat = (
-            _chunk_forward(data, basis, ox, oy, logT, done, triu)
+            _chunk_forward(data, basis, ox, oy, logT, done, triu,
+                           gradient_walk=gradient_walk)
         )
         one_m = jnp.where(use, 1.0 - jnp.minimum(alpha_raw, 0.99), 1.0)
 
@@ -421,17 +533,17 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
         dfeat = jax.lax.dot_general(
             dC, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GPREC,
         )
-        # (feat_j . dC_p) -> [PIX, CHUNK]
+        # (feat_j . dC_p) -> [PIX, CHUNK]; gradient-path (feeds dalpha)
         fdc = jax.lax.dot_general(
             dC, feat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GPREC,
         )
         r = w * fdc
         # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
-        r_incl = _incl_cumsum(r, triu)
+        r_incl = _incl_cumsum(r, triu, prec=_GPREC)
         suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
 
         inv_onem = 1.0 / one_m
@@ -449,7 +561,7 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
         S = jax.lax.dot_general(
             basis, dpower, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GPREC,
         )  # [8, CHUNK]
         S1 = S[0:1, :]
         Sx = S[1:2, :]
@@ -559,8 +671,13 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
         tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     padded_cap = pair_rows.shape[1]
     out_dtype = jnp.bfloat16 if grad_bf16 else jnp.float32
+    # the rounded gradient walk only compensates the compiled TPU path;
+    # interpret mode's dots are f32-exact, so it replays the forward
+    # bit-exactly under every mode (what the kernel-vs-oracle tests check)
     kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x,
-                               n_tiles=n_tiles, out_dtype=out_dtype)
+                               n_tiles=n_tiles, out_dtype=out_dtype,
+                               gradient_walk=_PREC_MODE == "mixed"
+                               and not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
