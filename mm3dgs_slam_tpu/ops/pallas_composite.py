@@ -102,7 +102,13 @@ _GPREC = (jax.lax.Precision.DEFAULT if _PREC_MODE == "mixed"
 #   operand is tiny or the other operand is exactly bf16); v3's acc is
 #   ~17-bit (image max rel err 7e-6 vs v0 on the bench scene — inside the
 #   compositor-agreement tolerance class). Measured fwd 8.74 -> 7.44
-#   ms/iter v0 -> v3 (−15%); v3 is the default.
+#   ms/iter v0 -> v3 (−15%). A "v4" (power + cumsum at 2 bf16 terms, 7 MXU
+#   passes/chunk) was probed and REJECTED: 7.23 ms/iter — no faster than
+#   v3's 9 passes (the forward is bound by per-chunk fixed costs, not MXU
+#   passes) — and image max rel err 0.17 (the tile-origin-folded power
+#   coefs reach O(1e3), so a 2^-18 relative split leaves O(4e-3) absolute
+#   power error that exp amplifies). Same conclusion as the backward
+#   VPU-op cuts: past ~2 us/chunk, only fewer CHUNKS help.
 _FWD_SPLIT = _os.environ.get("MM3DGS_PL_FWD_SPLIT", "v3")
 
 
@@ -226,8 +232,10 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu,
 
     data: [NF, CHUNK] field-major slab; basis: [PIX, 8] (see _pix_basis);
     (ox, oy): tile-origin scalars; logT/done: [PIX, 1]. Returns
-    (w [PIX, CHUNK], logT_new, done_new, alpha_raw, use, T_j, xl, yl,
-    feat [NC, CHUNK]).
+    (w [PIX, CHUNK], logT_new, done_new, alpha_raw, one_m, use, T_j, xl,
+    yl, feat [NC, CHUNK]); `one_m` is 1 - clamped alpha on contributing
+    lanes and exactly 1 on padding/skip lanes (the backward divides by it
+    only under the `use` mask, so its value elsewhere is don't-care).
 
     Out-of-segment padding slots need no rank test: their pair rows gather
     as all-zero (sentinel fill), so op = 0 kills `contribute` by itself.
@@ -311,12 +319,21 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu,
     # a per-chunk HIGHEST [PIX,CHUNK]x[CHUNK,1] matmul costs more than the
     # lane-max). The plain unconditional cross-lane max wins.
     any_stop = below[:, CHUNK - 1:CHUNK]
-    frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1, keepdims=True)
-    logT_new = jnp.where(done >= 1.0, logT,
-                         jnp.where(any_stop, frozen,
-                                   lT_incl[:, CHUNK - 1:CHUNK]))
+    if gradient_walk:
+        # A stopped pixel has use=False in every LATER chunk (done >= 1
+        # masks w and dalpha to exactly 0), so the gradient walk never
+        # consumes the frozen transmittance — skip the 7-stage cross-lane
+        # max and carry the (monotone decreasing) inclusive end value;
+        # T_j merely underflows toward 0 on masked lanes.
+        logT_new = jnp.where(done >= 1.0, logT, lT_incl[:, CHUNK - 1:CHUNK])
+    else:
+        frozen = jnp.max(jnp.where(below, lT_excl, _NEG), axis=1,
+                         keepdims=True)
+        logT_new = jnp.where(done >= 1.0, logT,
+                             jnp.where(any_stop, frozen,
+                                       lT_incl[:, CHUNK - 1:CHUNK]))
     done_new = jnp.maximum(done, any_stop.astype(jnp.float32))
-    return w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat
+    return w, logT_new, done_new, alpha_raw, one_m, use, T_j, xl, yl, feat
 
 
 def _tile_origin(t, tiles_x):
@@ -379,7 +396,7 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
             dma(start + ci * CHUNK, slot).wait()
 
         data = buf[jnp.where(ci == 0, pf, slot)]
-        w, logT, done, _, _, _, _, _, feat = _chunk_forward(
+        w, logT, done, _, _, _, _, _, _, feat = _chunk_forward(
             data, basis, ox, oy, logT, done, triu
         )
         if _FWD_SPLIT == "v3":
@@ -523,11 +540,10 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
             dma_in(start + ci * CHUNK, slot).wait()
 
         data = buf[jnp.where(ci == 0, pf, slot)]
-        w, logT_new, done_new, alpha_raw, use, T_j, xl, yl, feat = (
+        w, logT_new, done_new, alpha_raw, one_m, use, T_j, xl, yl, feat = (
             _chunk_forward(data, basis, ox, oy, logT, done, triu,
                            gradient_walk=gradient_walk)
         )
-        one_m = jnp.where(use, 1.0 - jnp.minimum(alpha_raw, 0.99), 1.0)
 
         # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
         dfeat = jax.lax.dot_general(
@@ -546,8 +562,15 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
         r_incl = _incl_cumsum(r, triu, prec=_GPREC)
         suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
 
-        inv_onem = 1.0 / one_m
-        dalpha = T_j * fdc - suffix * inv_onem - dT_fin * T_fin * inv_onem
+        # one_m is don't-care outside `use` (dalpha is masked right after),
+        # so the chunk-forward's 1 - alpha is reused as-is, and under the
+        # gradient walk the full-precision divide drops to the VPU's
+        # single-op approximate reciprocal (~1e-4 rel — gradient budget).
+        if gradient_walk:
+            inv_onem = pl.reciprocal(one_m, approx=True)
+        else:
+            inv_onem = 1.0 / one_m
+        dalpha = T_j * fdc - (suffix + dT_fin * T_fin) * inv_onem
         dalpha = jnp.where(use, dalpha, 0.0)
 
         op = data[5:6, :]

@@ -128,6 +128,69 @@ def project_for_pose(
     )
 
 
+def to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """[C, H, W] (or [H, W]) -> tile layout [n_tiles, TILE*TILE(, C)].
+
+    The inverse of the compositor's image assembly; used to move LOSS
+    TARGETS into the kernel's native layout so elementwise losses skip the
+    per-iteration [NC, H, W] assembly transpose (and its backward)."""
+    from .camera import TILE
+
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    c = img.shape[0]
+    ty, tx = cam.tiles_y, cam.tiles_x
+    img = jnp.pad(img, ((0, 0), (0, ty * TILE - cam.height),
+                        (0, tx * TILE - cam.width)))
+    t = img.reshape(c, ty, TILE, tx, TILE).transpose(1, 3, 2, 4, 0)
+    t = t.reshape(ty * tx, TILE * TILE, c)
+    return t[..., 0] if squeeze else t
+
+
+def tile_pixel_valid(cam: Camera) -> jnp.ndarray:
+    """[n_tiles, TILE*TILE] bool: True where the tile pixel lies inside the
+    H x W image (False on the bottom/right tile-grid padding). Constant per
+    camera — XLA folds it."""
+    from .camera import TILE
+
+    t = jnp.arange(cam.n_tiles)[:, None]
+    p = jnp.arange(TILE * TILE)[None, :]
+    gy = (t // cam.tiles_x) * TILE + p // TILE
+    gx = (t % cam.tiles_x) * TILE + p % TILE
+    return (gy < cam.height) & (gx < cam.width)
+
+
+def render_tiles(
+    g: ActivatedGaussians,
+    camera_pose: jnp.ndarray,
+    rs: RenderSettings,
+    bins: TileBins,
+):
+    """Tile-layout render fast path: the fused pack+composite WITHOUT the
+    [NC, H, W] image assembly. Returns out6 [n_tiles, TILE*TILE, 6]
+    (channels: rgb, z, sil, z^2), background already applied.
+
+    Tracking's losses are elementwise + global masked reductions, so they
+    evaluate identically in this layout (same pixel set via
+    tile_pixel_valid). Measured caveat (bisect_seg on v5e): with the
+    CURRENT [T, PIX, NC] kernel output this is net slower than assembling
+    the image — NC=6 sits on the minor (lane) dim, so XLA lane-pads every
+    elementwise loss op ~21x. Gated behind MM3DGS_TRACK_TILES until the
+    kernel emits channel-major accumulators. Requires pallas bins built
+    with slot tables (align=CHUNK)."""
+    proj = project_for_pose(g, camera_pose, rs)
+    from .pallas_composite import _composite_packed
+
+    bg = background(rs)
+    acc, tfin = _composite_packed(
+        proj.packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
+        bins.big_slots, bins.big_gauss, bins.big_valid, bins.tile_start,
+        bins.tile_count, rs.cam, False, rs.grad_bf16,
+    )
+    return acc + tfin * bg[None, None, :]
+
+
 def background(rs: RenderSettings, channels: int = 6) -> jnp.ndarray:
     """Per-channel background; the reference reuses the RGB bg for the
     depth/sil pass (renderer.py:79-83,207-214)."""

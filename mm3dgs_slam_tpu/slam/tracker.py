@@ -35,8 +35,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.binning import TileBins
 from ..ops.losses import masked_mean, masked_sum, pearson_loss, rel_pose_loss
-from ..ops.render import ActivatedGaussians, RenderSettings, render
+from ..ops.render import (ActivatedGaussians, RenderSettings, render,
+                          render_tiles, tile_pixel_valid, to_tiles)
 from ..parallel.sharded import replicate_proj
 
 
@@ -110,6 +112,56 @@ def tracking_loss(
     return loss
 
 
+def tracking_loss_tiles(
+    g: ActivatedGaussians,
+    pose: jnp.ndarray,
+    gt_color_t: jnp.ndarray,   # [n_tiles, PIX, 3]
+    gt_depth_t: jnp.ndarray,   # [n_tiles, PIX]
+    est_depth_t: jnp.ndarray,  # [n_tiles, PIX]
+    valid: jnp.ndarray,        # [n_tiles, PIX] in-image mask
+    initial_pose: jnp.ndarray,
+    ts: TrackSettings,
+    bins: TileBins,
+) -> jnp.ndarray:
+    """tracking_loss evaluated in the compositor's tile layout.
+
+    Every tracking loss term is elementwise or a global masked reduction
+    (L1, Pearson over masked pixels, pose prior), so it needs no [NC, H, W]
+    image — skipping the assembly transpose and its backward saves
+    ~1.4 ms/iter at 640x480. Same pixel set as the cropped image via
+    `valid`; values match tracking_loss up to fp summation order."""
+    out6 = render_tiles(g, pose, ts.rs, bins)
+    image = out6[..., :3]
+    depth = out6[..., 3]
+    silhouette = out6[..., 4]
+    presence = (silhouette > 0.99) & valid
+
+    if ts.method == "splatam":
+        depth_sq = out6[..., 5]
+        uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
+        nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
+        mask = (gt_depth_t > 0) & nan_mask & presence
+        loss_depth = masked_sum(jnp.abs(gt_depth_t - depth), mask)
+        loss_im = masked_sum(jnp.abs(gt_color_t - image), mask[..., None])
+        return loss_depth + 0.5 * loss_im
+
+    loss = masked_mean(jnp.abs(image - gt_color_t), presence[..., None])
+    if ts.use_depth_estimate_loss:
+        if ts.use_gt_depth:
+            dmask = presence & (gt_depth_t > 0)
+            loss = loss + ts.pearson_weight * pearson_loss(
+                depth, gt_depth_t, mask=dmask, invert_estimate=True
+            )
+        else:
+            loss = loss + ts.pearson_weight * pearson_loss(
+                depth, est_depth_t, mask=presence, invert_estimate=True
+            )
+    if ts.use_imu_loss:
+        t_err, q_err = rel_pose_loss(pose, initial_pose)
+        loss = loss + ts.imu_T_weight * t_err + ts.imu_q_weight * q_err
+    return loss
+
+
 @partial(jax.jit, static_argnames=("ts",))
 def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     from ..ops.binning import build_bins
@@ -149,13 +201,43 @@ def _track_segment(
 ):
     """`n_iters` Adam steps with FIXED bins (the loop-invariant hoisted out
     of the dispatch); `base_i` is the global iteration of step 0 (bias
-    correction)."""
+    correction).
 
-    def loss_fn(q, T):
-        pose = jnp.concatenate([q, T])
-        return tracking_loss(
-            g, pose, gt_color, gt_depth, est_depth, initial_pose, ts, bins
-        )
+    MM3DGS_TRACK_TILES=1 evaluates the loss in TILE layout
+    (tracking_loss_tiles) instead of assembling the [NC, H, W] image.
+    Measured on v5e this is 1.3 ms/iter SLOWER (21.0 vs 19.7, bisect_seg):
+    the [T, PIX, 6] tile tensor keeps NC=6 on the minor (lane) dim, so XLA
+    pads every elementwise loss op to 128 lanes (~21x memory
+    amplification) — more than the saved assembly transpose. The path is
+    kept (parity-tested in test_tracker_tiles.py) because it becomes the
+    win once the kernel emits channel-major [NC, T, PIX] accumulators;
+    default stays the image path."""
+    import os as _os
+
+    tiled = (_os.environ.get("MM3DGS_TRACK_TILES", "0") == "1"
+             and ts.mesh is None and ts.rs.use_pallas
+             and not ts.rs.use_oracle
+             and isinstance(bins, TileBins) and bins.small_slots is not None)
+    if tiled:
+        cam = ts.rs.cam
+        gt_color_t = to_tiles(gt_color, cam)
+        gt_depth_t = to_tiles(gt_depth, cam)
+        est_depth_t = to_tiles(est_depth, cam)
+        valid = tile_pixel_valid(cam)
+
+        def loss_fn(q, T):
+            pose = jnp.concatenate([q, T])
+            return tracking_loss_tiles(
+                g, pose, gt_color_t, gt_depth_t, est_depth_t, valid,
+                initial_pose, ts, bins
+            )
+    else:
+        def loss_fn(q, T):
+            pose = jnp.concatenate([q, T])
+            return tracking_loss(
+                g, pose, gt_color, gt_depth, est_depth, initial_pose, ts,
+                bins
+            )
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 

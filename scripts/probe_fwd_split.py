@@ -73,7 +73,9 @@ def main():
         return jax.device_get(acc), jax.device_get(tfin)
 
     ref = None
-    for name in ("v0", "v1", "v2", "v3"):
+    import os
+    names = os.environ.get("MM3DGS_PROBE_VARIANTS", "v0,v1,v2,v3")
+    for name in names.split(","):
         pc._FWD_SPLIT = name
         jax.clear_caches()
         print(f"fwd variant {name}")
