@@ -361,9 +361,12 @@ def build_bins(
         aligned_sizes = ((tile_count + align - 1) // align) * align
         aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
         P = pair_gauss.shape[0]
-        # +align tail pad: the kernel's cross-tile chunk-0 prefetch DMA may
-        # read one full chunk at the last (possibly empty) tile's start
-        buf_cap = P + n_tiles * align + align
+        # +4*align tail pad: the kernel's cross-tile chunk-0 prefetch DMA
+        # may read one trip-wide slab (UNROLL*align pairs, UNROLL <= 4) at
+        # the last (possibly empty) tile's start, and the backward's
+        # trip-wide write-back may spill up to UNROLL-1 zero chunks past
+        # the last segment's aligned end
+        buf_cap = P + n_tiles * align + 4 * align
         delta = aligned_start - tile_start  # [n_tiles], non-decreasing
         # Per-pair delta WITHOUT a [n_tiles]-table gather (measured ~6 ms/M
         # indices on v5e): pairs are tile-sorted, so delta-per-pair is a

@@ -60,9 +60,22 @@ CHUNK = int(_os.environ.get("MM3DGS_PL_CHUNK", "128"))
 # VREG->scalar min(done) reduction + branch (the expensive class the
 # lax.cond experiment exposed); 0 disables it to walk every chunk.
 EARLY_EXIT = _os.environ.get("MM3DGS_PL_EARLY_EXIT", "1") != "0"
+# Chunks walked per while-loop trip (one W = UNROLL*CHUNK-wide DMA per
+# trip). The per-chunk cost is dominated by chunk-pipeline fixed costs —
+# DMA issue/wait chains plus the loop's own branch structure (~0.55 us per
+# data-dependent branch, PROFILE.md pass 6) — so amortizing them over
+# UNROLL chunks attacks exactly that term while keeping every VREG op at
+# [PIX, CHUNK] and segment alignment at CHUNK (unlike the CHUNK=256
+# experiment, which paid +12% aligned slots and washed out). A trip's
+# trailing sub-chunks can cross the segment end into the next tile's
+# pairs; they are masked to zero, which reproduces the padding-lane
+# semantics bit-exactly (and the binning buffer carries a 4*align tail
+# pad so the wide DMA stays in bounds).
                     # pairs per inner step (lanes); larger chunks amortize
                     # per-chunk fixed costs against +CHUNK/2 average padding
                     # per tile segment (bins are aligned to CHUNK)
+UNROLL = int(_os.environ.get("MM3DGS_PL_UNROLL", "2"))
+W = UNROLL * CHUNK  # pairs per DMA / per while-loop trip
 SUB = 128           # triangular-cumsum sub-block (keeps the O(CHUNK*SUB)
                     # MXU cost per pair constant when CHUNK grows)
 PIX = TILE * TILE   # 256 pixels per tile (sublanes)
@@ -343,7 +356,8 @@ def _tile_origin(t, tiles_x):
 
 
 def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
-                acc_ref, tfin_ref, buf, sem, *, tiles_x: int, n_tiles: int):
+                acc_ref, tfin_ref, buf, sem, *, tiles_x: int, n_tiles: int,
+                chan_major: bool = False):
     """Double-buffered walk (slots 0/1) + cross-program chunk-0 prefetch
     (parity slots 2/3): chunk ci+1's DMA is in flight while ci computes, and
     tile t+1's first chunk is in flight while tile t walks.
@@ -356,13 +370,14 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     count = tile_count_ref[t]
     ox, oy = _tile_origin(t + tile_lo_ref[0], tiles_x)
     n_chunks = pl.cdiv(count, CHUNK)
+    n_steps = pl.cdiv(count, W)
     triu = _triu_ones()
     basis = _pix_basis()
 
     def dma(off_pairs, slot):
         off = pl.multiple_of(off_pairs, CHUNK)
         return pltpu.make_async_copy(
-            pair_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot]
+            pair_hbm.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot]
         )
 
     pf = 2 + jax.lax.rem(t, 2)
@@ -380,41 +395,48 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     def cond(carry):
         ci, logT, done, acc = carry
         if not EARLY_EXIT:
-            return ci < n_chunks
-        return (ci < n_chunks) & (jnp.min(done) < 1.0)
+            return ci < n_steps
+        return (ci < n_steps) & (jnp.min(done) < 1.0)
 
     def body(carry):
         ci, logT, done, acc = carry
         slot = jax.lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + 1 < n_steps)
         def _():
-            dma(start + (ci + 1) * CHUNK, 1 - slot).start()
+            dma(start + (ci + 1) * W, 1 - slot).start()
 
         @pl.when(ci > 0)
         def _():
-            dma(start + ci * CHUNK, slot).wait()
+            dma(start + ci * W, slot).wait()
 
-        data = buf[jnp.where(ci == 0, pf, slot)]
-        w, logT, done, _, _, _, _, _, _, feat = _chunk_forward(
-            data, basis, ox, oy, logT, done, triu
-        )
-        if _FWD_SPLIT == "v3":
-            wh = w.astype(jnp.bfloat16).astype(jnp.float32)
-            wl = w - wh
-            fh = feat.astype(jnp.bfloat16).astype(jnp.float32)
-            fl = feat - fh
-            dims = (((1,), (1,)), ((), ()))
-            dg = functools.partial(jax.lax.dot_general,
-                                   dimension_numbers=dims,
-                                   preferred_element_type=jnp.float32)
-            acc = acc + dg(wh, fh) + dg(wh, fl) + dg(wl, fh)
-        else:
-            acc = acc + jax.lax.dot_general(
-                w, feat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PREC,
-            )  # [PIX, NC]
+        data_full = buf[jnp.where(ci == 0, pf, slot)]
+        for u in range(UNROLL):
+            data = data_full[:, u * CHUNK:(u + 1) * CHUNK]
+            if u:
+                # trailing sub-chunk may cross the segment end into the
+                # next tile's pairs: zero it so it reproduces the
+                # padding-lane semantics (op=0 kills every contribution)
+                data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
+            w, logT, done, _, _, _, _, _, _, feat = _chunk_forward(
+                data, basis, ox, oy, logT, done, triu
+            )
+            if _FWD_SPLIT == "v3":
+                wh = w.astype(jnp.bfloat16).astype(jnp.float32)
+                wl = w - wh
+                fh = feat.astype(jnp.bfloat16).astype(jnp.float32)
+                fl = feat - fh
+                dims = (((1,), (1,)), ((), ()))
+                dg = functools.partial(jax.lax.dot_general,
+                                       dimension_numbers=dims,
+                                       preferred_element_type=jnp.float32)
+                acc = acc + dg(wh, fh) + dg(wh, fl) + dg(wl, fh)
+            else:
+                acc = acc + jax.lax.dot_general(
+                    w, feat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_PREC,
+                )  # [PIX, NC]
         return ci + 1, logT, done, acc
 
     logT0 = jnp.zeros((PIX, 1), jnp.float32)
@@ -424,50 +446,79 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
         cond, body, (0, logT0, done0, acc0)
     )
     # drain the prefetched-but-unconsumed DMA after an early exit
-    @pl.when((ci_fin < n_chunks) & (ci_fin > 0))
+    @pl.when((ci_fin < n_steps) & (ci_fin > 0))
     def _():
-        dma(start + ci_fin * CHUNK, jax.lax.rem(ci_fin, 2)).wait()
+        dma(start + ci_fin * W, jax.lax.rem(ci_fin, 2)).wait()
 
-    acc_ref[0, :, :] = acc
-    tfin_ref[0, :, :] = jnp.exp2(logT_fin)
+    if chan_major:
+        # channel-major [1, NC, PIX] blocks ([T, NC, PIX] arrays): PIX
+        # stays on the lane dim so downstream elementwise loss ops see
+        # full 128-lane vregs instead of an NC=6-wide minor dim padded
+        # ~21x (one tiny [PIX, NC] transpose per tile). Mosaic requires
+        # the block's trailing two dims to equal the array's, so the tile
+        # index leads and channels sit second-from-minor (sublane pad
+        # 6->8 only).
+        acc_ref[0, :, :] = acc.T
+        tfin_ref[0, :, :] = jnp.exp2(logT_fin).T
+    else:
+        acc_ref[0, :, :] = acc
+        tfin_ref[0, :, :] = jnp.exp2(logT_fin)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "interpret", "n_local"))
+@functools.partial(jax.jit, static_argnames=("cam", "interpret", "n_local",
+                                              "chan_major"))
 def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
                           interpret: bool = False, tile_lo=None,
-                          n_local: int | None = None):
+                          n_local: int | None = None,
+                          chan_major: bool = False):
     """`tile_lo`/`n_local`: optional tile WINDOW (global index of local tile
     0 + static local tile count) for tile-sharded compositing; defaults to
-    the full camera grid."""
+    the full camera grid. `chan_major`: emit acc as [n_tiles, NC, PIX] and
+    tfin as [n_tiles, 1, PIX] (lane dim = pixels) for the tile-layout loss
+    path instead of [n_tiles, PIX, NC]/[n_tiles, PIX, 1]."""
     n_tiles = cam.n_tiles if n_local is None else n_local
     if tile_lo is None:
         tile_lo = jnp.zeros((1,), jnp.int32)
     else:
         tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x,
-                               n_tiles=n_tiles)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[
+                               n_tiles=n_tiles, chan_major=chan_major)
+    if chan_major:
+        out_specs = [
+            pl.BlockSpec((1, NC, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_tiles, NC, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.float32),
+        ]
+    else:
+        out_specs = [
             pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_tiles, PIX, NC), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, PIX, 1), jnp.float32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((4, NF, CHUNK), jnp.float32),  # 0/1 walk, 2/3 prefetch
+            pltpu.VMEM((4, NF, W), jnp.float32),  # 0/1 walk, 2/3 prefetch
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     acc, tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, PIX, NC), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PIX, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -480,7 +531,7 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 dacc_ref, dtfin_ref, acc_ref, tfin_ref, dpair_hbm, buf,
                 dpair_buf, sems, osems,
                 *, tiles_x: int, n_tiles: int, out_dtype=jnp.float32,
-                gradient_walk=False):
+                gradient_walk=False, chan_major: bool = False):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -488,24 +539,35 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     triu = _triu_ones()
     basis = _pix_basis()
 
-    dC = dacc_ref[0]          # [PIX, NC]  (VMEM-blocked input)
-    dT_fin = dtfin_ref[0]     # [PIX, 1]
-    C_tot = acc_ref[0]        # [PIX, NC]
-    T_fin = tfin_ref[0]       # [PIX, 1]
+    if chan_major:
+        dC = dacc_ref[0].T      # [PIX, NC]
+        dT_fin = dtfin_ref[0].T  # [PIX, 1]
+        C_tot = acc_ref[0].T
+        T_fin = tfin_ref[0].T
+    else:
+        dC = dacc_ref[0]          # [PIX, NC]  (VMEM-blocked input)
+        dT_fin = dtfin_ref[0]     # [PIX, 1]
+        C_tot = acc_ref[0]        # [PIX, NC]
+        T_fin = tfin_ref[0]       # [PIX, 1]
     CdC = jnp.sum(C_tot * dC, axis=1, keepdims=True)  # [PIX, 1]
 
     n_chunks = pl.cdiv(count, CHUNK)
+    n_steps = pl.cdiv(count, W)
 
     def dma_in(off_pairs, slot):
         off = pl.multiple_of(off_pairs, CHUNK)
         return pltpu.make_async_copy(
-            pair_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot]
+            pair_hbm.at[:, pl.ds(off, W)], buf.at[slot], sems.at[slot]
         )
 
     def dma_out(ci, buf_slot, sem_slot):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        # trip-wide [NF, W] write-back; a trailing masked sub-chunk writes
+        # zeros past the segment end — into inter-segment alignment pad or
+        # the NEXT tile's first chunk, which that (sequentially later)
+        # program rewrites in full before its outputs are consumed
+        off = pl.multiple_of(start + ci * W, CHUNK)
         return pltpu.make_async_copy(
-            dpair_buf.at[buf_slot], dpair_hbm.at[:, pl.ds(off, CHUNK)],
+            dpair_buf.at[buf_slot], dpair_hbm.at[:, pl.ds(off, W)],
             osems.at[sem_slot]
         )
 
@@ -524,108 +586,112 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     def cond(carry):
         ci, logT, done, A_pref = carry
         if not EARLY_EXIT:
-            return ci < n_chunks
-        return (ci < n_chunks) & (jnp.min(done) < 1.0)
+            return ci < n_steps
+        return (ci < n_steps) & (jnp.min(done) < 1.0)
 
     def body(carry):
         ci, logT, done, A_pref = carry
         slot = jax.lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + 1 < n_steps)
         def _():
-            dma_in(start + (ci + 1) * CHUNK, 1 - slot).start()
+            dma_in(start + (ci + 1) * W, 1 - slot).start()
 
         @pl.when(ci > 0)
         def _():
-            dma_in(start + ci * CHUNK, slot).wait()
+            dma_in(start + ci * W, slot).wait()
 
-        data = buf[jnp.where(ci == 0, pf, slot)]
-        w, logT_new, done_new, alpha_raw, one_m, use, T_j, xl, yl, feat = (
-            _chunk_forward(data, basis, ox, oy, logT, done, triu,
-                           gradient_walk=gradient_walk)
-        )
-
-        # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
-        dfeat = jax.lax.dot_general(
-            dC, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_GPREC,
-        )
-        # (feat_j . dC_p) -> [PIX, CHUNK]; gradient-path (feeds dalpha)
-        fdc = jax.lax.dot_general(
-            dC, feat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_GPREC,
-        )
-        r = w * fdc
-        # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
-        r_incl = _incl_cumsum(r, triu, prec=_GPREC)
-        suffix = CdC - A_pref - r_incl           # (C - A_{<=j}) . dC
-
-        # one_m is don't-care outside `use` (dalpha is masked right after),
-        # so the chunk-forward's 1 - alpha is reused as-is, and under the
-        # gradient walk the full-precision divide drops to the VPU's
-        # single-op approximate reciprocal (~1e-4 rel — gradient budget).
-        if gradient_walk:
-            inv_onem = pl.reciprocal(one_m, approx=True)
-        else:
-            inv_onem = 1.0 / one_m
-        dalpha = T_j * fdc - (suffix + dT_fin * T_fin) * inv_onem
-        dalpha = jnp.where(use, dalpha, 0.0)
-
-        op = data[5:6, :]
-        dpower = alpha_raw * dalpha
-        # All six per-pair reductions over PIX collapse into ONE MXU matmul
-        # against the quadratic pixel basis: with S = basis^T @ dpower the
-        # moment rows are [S1, Sx, Sy, Sxx, Sxy, Syy] and every gradient of
-        # the EWA exponent is [1, CHUNK] row algebra in those moments
-        # (dx = xl - px, so e.g. sum dx*dpower = xl*S1 - Sx). dop is free:
-        # G*dalpha = (alpha_raw/op)*dalpha = dpower/op, so dop = S1/op.
-        S = jax.lax.dot_general(
-            basis, dpower, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_GPREC,
-        )  # [8, CHUNK]
-        S1 = S[0:1, :]
-        Sx = S[1:2, :]
-        Sy = S[2:3, :]
-        Sxx = S[3:4, :]
-        Sxy = S[4:5, :]
-        Syy = S[5:6, :]
-        dop = jnp.where(op > 0, S1 / jnp.where(op > 0, op, 1.0), 0.0)
-        c0 = data[2:3, :]
-        c1 = data[3:4, :]
-        c2 = data[4:5, :]
-        mx = xl * S1 - Sx            # sum dx * dpower
-        my = yl * S1 - Sy            # sum dy * dpower
-        dxy_x = -(c0 * mx + c1 * my)
-        dxy_y = -(c2 * my + c1 * mx)
-        dc0 = -0.5 * (xl * xl * S1 - 2.0 * xl * Sx + Sxx)
-        dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
-        dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
-
-        # double-buffered write-back: before reusing this slot (written two
-        # iterations ago), drain its in-flight output DMA
+        data_full = buf[jnp.where(ci == 0, pf, slot)]
+        # double-buffered write-back: before reusing this output slot
+        # (written two trips ago), drain its in-flight DMA
         @pl.when(ci >= 2)
         def _():
             dma_out(ci - 2, slot, slot).wait()
 
-        zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
-        # emit FIELD-major [NF, CHUNK] — no in-VMEM transpose, no lane pad,
-        # 8x less HBM write traffic than a 128-lane-padded row-major slab;
-        # the consumer pays one barriered [NF, P] -> [P, NF] HBM transpose
-        # instead (bandwidth-bound). With out_dtype=bfloat16 the per-pair
-        # gradients are rounded to 8-bit mantissa before the slot-table
-        # reduction — halves every downstream byte (DMA out, transpose,
-        # gathers); the ~0.4% stochastic per-pair rounding is far below
-        # Adam's gradient-noise floor (the reduction still accumulates f32).
-        dpair_buf[slot] = jnp.concatenate(
-            [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
-        ).astype(out_dtype)
-        dma_out(ci, slot, slot).start()
+        for u in range(UNROLL):
+            data = data_full[:, u * CHUNK:(u + 1) * CHUNK]
+            if u:
+                data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
+            (w, logT, done, alpha_raw, one_m, use, T_j, xl, yl,
+             feat) = _chunk_forward(data, basis, ox, oy, logT, done, triu,
+                                    gradient_walk=gradient_walk)
 
-        A_new = A_pref + r_incl[:, CHUNK - 1:CHUNK]
-        return ci + 1, logT_new, done_new, A_new
+            # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
+            dfeat = jax.lax.dot_general(
+                dC, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_GPREC,
+            )
+            # (feat_j . dC_p) -> [PIX, CHUNK]; gradient-path (feeds dalpha)
+            fdc = jax.lax.dot_general(
+                dC, feat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_GPREC,
+            )
+            r = w * fdc
+            # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
+            r_incl = _incl_cumsum(r, triu, prec=_GPREC)
+            suffix = CdC - A_pref - r_incl       # (C - A_{<=j}) . dC
+
+            # one_m is don't-care outside `use` (dalpha is masked right
+            # after), so the chunk-forward's 1 - alpha is reused as-is, and
+            # under the gradient walk the full-precision divide drops to the
+            # VPU's approximate reciprocal (~1e-4 rel — gradient budget).
+            if gradient_walk:
+                inv_onem = pl.reciprocal(one_m, approx=True)
+            else:
+                inv_onem = 1.0 / one_m
+            dalpha = T_j * fdc - (suffix + dT_fin * T_fin) * inv_onem
+            dalpha = jnp.where(use, dalpha, 0.0)
+
+            op = data[5:6, :]
+            dpower = alpha_raw * dalpha
+            # All six per-pair reductions over PIX collapse into ONE MXU
+            # matmul against the quadratic pixel basis: with
+            # S = basis^T @ dpower the moment rows are
+            # [S1, Sx, Sy, Sxx, Sxy, Syy] and every gradient of the EWA
+            # exponent is [1, CHUNK] row algebra in those moments
+            # (dx = xl - px, so e.g. sum dx*dpower = xl*S1 - Sx). dop is
+            # free: G*dalpha = (alpha_raw/op)*dalpha = dpower/op.
+            S = jax.lax.dot_general(
+                basis, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_GPREC,
+            )  # [8, CHUNK]
+            S1 = S[0:1, :]
+            Sx = S[1:2, :]
+            Sy = S[2:3, :]
+            Sxx = S[3:4, :]
+            Sxy = S[4:5, :]
+            Syy = S[5:6, :]
+            dop = jnp.where(op > 0, S1 / jnp.where(op > 0, op, 1.0), 0.0)
+            c0 = data[2:3, :]
+            c1 = data[3:4, :]
+            c2 = data[4:5, :]
+            mx = xl * S1 - Sx            # sum dx * dpower
+            my = yl * S1 - Sy            # sum dy * dpower
+            dxy_x = -(c0 * mx + c1 * my)
+            dxy_y = -(c2 * my + c1 * mx)
+            dc0 = -0.5 * (xl * xl * S1 - 2.0 * xl * Sx + Sxx)
+            dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
+            dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
+
+            zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
+            # emit FIELD-major [NF, W] — no in-VMEM transpose, no lane pad,
+            # 8x less HBM write traffic than a 128-lane-padded row-major
+            # slab; the consumer pays one barriered [NF, P] -> [P, NF] HBM
+            # transpose instead (bandwidth-bound). With out_dtype=bfloat16
+            # the per-pair gradients are rounded to 8-bit mantissa before
+            # the slot-table reduction — halves every downstream byte; the
+            # ~0.4% per-pair rounding is far below Adam's gradient-noise
+            # floor (the reduction still accumulates f32).
+            dpair_buf[slot, :, u * CHUNK:(u + 1) * CHUNK] = jnp.concatenate(
+                [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
+            ).astype(out_dtype)
+            A_pref = A_pref + r_incl[:, CHUNK - 1:CHUNK]
+
+        dma_out(ci, slot, slot).start()
+        return ci + 1, logT, done, A_pref
 
     logT0 = jnp.zeros((PIX, 1), jnp.float32)
     done0 = jnp.zeros((PIX, 1), jnp.float32)
@@ -633,9 +699,9 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     ci_fin, _, _, _ = jax.lax.while_loop(cond, body, (0, logT0, done0, A0))
 
     # drain the prefetched-but-unconsumed input DMA after an early exit
-    @pl.when((ci_fin < n_chunks) & (ci_fin > 0))
+    @pl.when((ci_fin < n_steps) & (ci_fin > 0))
     def _():
-        dma_in(start + ci_fin * CHUNK, jax.lax.rem(ci_fin, 2)).wait()
+        dma_in(start + ci_fin * W, jax.lax.rem(ci_fin, 2)).wait()
 
     # drain the trailing output DMAs (the zero-fill below and the next tile
     # reuse the same slots/semaphores)
@@ -654,11 +720,11 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
     # the slot-table reduction gathers those slots, so their slabs must be
     # ZEROED, not skipped. One zeroed buffer, overlapped writes on the two
     # output semaphores.
-    n_rest = n_chunks - ci_fin
+    n_rest = n_steps - ci_fin
 
     @pl.when(n_rest > 0)
     def _():
-        dpair_buf[0] = jnp.zeros((NF, CHUNK), out_dtype)
+        dpair_buf[0] = jnp.zeros((NF, W), out_dtype)
 
         def zbody(j, _):
             @pl.when(j >= 2)
@@ -679,14 +745,17 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("cam", "interpret", "grad_bf16",
-                                    "n_local"))
+                                    "n_local", "chan_major"))
 def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
                                dacc, dtfin, cam: Camera,
                                interpret: bool = False,
                                grad_bf16: bool = False, tile_lo=None,
-                               n_local: int | None = None):
+                               n_local: int | None = None,
+                               chan_major: bool = False):
     """Backward kernel: per-pair gradients FIELD-major [NF, padded_cap]
-    (same layout as the pair input; bfloat16 rows when grad_bf16)."""
+    (same layout as the pair input; bfloat16 rows when grad_bf16).
+    `chan_major`: acc/tfin/dacc/dtfin are channel-major (see
+    _composite_pallas_fwd)."""
     n_tiles = cam.n_tiles if n_local is None else n_local
     if tile_lo is None:
         tile_lo = jnp.zeros((1,), jnp.int32)
@@ -700,25 +769,31 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
     kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x,
                                n_tiles=n_tiles, out_dtype=out_dtype,
                                gradient_walk=_PREC_MODE == "mixed"
-                               and not interpret)
+                               and not interpret, chan_major=chan_major)
+    if chan_major:
+        spec_nc = pl.BlockSpec((1, NC, PIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        spec_nc = pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair rows
-            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # dacc
-            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # dtfin
-            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # acc
-            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # tfin
+            spec_nc,                                           # dacc
+            spec_1,                                            # dtfin
+            spec_nc,                                           # acc
+            spec_1,                                            # tfin
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((4, NF, CHUNK), jnp.float32),   # 0/1 walk, 2/3 prefetch
-            pltpu.VMEM((2, NF, CHUNK), out_dtype),     # dpair out (field-major)
+            pltpu.VMEM((4, NF, W), jnp.float32),   # 0/1 walk, 2/3 prefetch
+            pltpu.VMEM((2, NF, W), out_dtype),     # dpair out (field-major)
             pltpu.SemaphoreType.DMA((4,)),             # input walk + prefetch
             pltpu.SemaphoreType.DMA((2,)),             # output double-buffer
         ],
@@ -811,11 +886,11 @@ def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid):
     return acc.at[big_gauss].add(big_sum)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 13, 14))
 def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
                       big_gauss, big_valid, tile_start, tile_count,
                       cam, interpret, grad_bf16=False, tile_lo=None,
-                      n_local=None):
+                      n_local=None, chan_major=False):
     """Fused pack + composite with the slot-table backward.
 
     One differentiable unit from per-gaussian packed rows to tile outputs:
@@ -823,30 +898,31 @@ def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
     slot-table reduction — no [NF, P] <-> [P, NF] HBM transpose anywhere
     (that transpose alone cost ~45 ms at 2.25M pairs). `tile_lo`/`n_local`
     select a tile window (tile-sharded compositing); the slot tables must
-    come from the same-windowed build_bins."""
+    come from the same-windowed build_bins. `chan_major`: channel-major
+    tile outputs (see _composite_pallas_fwd)."""
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     return _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                 interpret, tile_lo, n_local)
+                                 interpret, tile_lo, n_local, chan_major)
 
 
 def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
              big_gauss, big_valid, tile_start, tile_count, cam, interpret,
-             grad_bf16=False, tile_lo=None, n_local=None):
+             grad_bf16=False, tile_lo=None, n_local=None, chan_major=False):
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                      interpret, tile_lo, n_local)
+                                      interpret, tile_lo, n_local, chan_major)
     res = (pair_rows, acc, tfin, small_slots, big_slots, big_gauss,
            big_valid, tile_start, tile_count, tile_lo)
     return (acc, tfin), res
 
 
-def _cpk_bwd(cam, interpret, grad_bf16, n_local, res, cts):
+def _cpk_bwd(cam, interpret, grad_bf16, n_local, chan_major, res, cts):
     (pair_rows, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
      tile_start, tile_count, tile_lo) = res
     dacc, dtfin = cts
     dpair_fm = _composite_pallas_bwd_rows(
         pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
-        interpret, grad_bf16, tile_lo, n_local,
+        interpret, grad_bf16, tile_lo, n_local, chan_major,
     )
     dpacked = _table_reduce(dpair_fm, small_slots, big_slots, big_gauss,
                             big_valid)

@@ -129,11 +129,14 @@ def project_for_pose(
 
 
 def to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
-    """[C, H, W] (or [H, W]) -> tile layout [n_tiles, TILE*TILE(, C)].
+    """[C, H, W] (or [H, W]) -> CHANNEL-major tile layout
+    [n_tiles, C, TILE*TILE] (or [n_tiles, TILE*TILE]).
 
     The inverse of the compositor's image assembly; used to move LOSS
-    TARGETS into the kernel's native layout so elementwise losses skip the
-    per-iteration [NC, H, W] assembly transpose (and its backward)."""
+    TARGETS into the kernel's native channel-major layout so elementwise
+    losses skip the per-iteration [NC, H, W] assembly transpose (and its
+    backward) while keeping pixels on the minor (lane) dim (channels pad
+    sublanes 6->8 instead of lanes 6->128)."""
     from .camera import TILE
 
     squeeze = img.ndim == 2
@@ -143,9 +146,9 @@ def to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
     ty, tx = cam.tiles_y, cam.tiles_x
     img = jnp.pad(img, ((0, 0), (0, ty * TILE - cam.height),
                         (0, tx * TILE - cam.width)))
-    t = img.reshape(c, ty, TILE, tx, TILE).transpose(1, 3, 2, 4, 0)
-    t = t.reshape(ty * tx, TILE * TILE, c)
-    return t[..., 0] if squeeze else t
+    t = img.reshape(c, ty, TILE, tx, TILE).transpose(1, 3, 0, 2, 4)
+    t = t.reshape(ty * tx, c, TILE * TILE)
+    return t[:, 0] if squeeze else t
 
 
 def tile_pixel_valid(cam: Camera) -> jnp.ndarray:
@@ -168,17 +171,17 @@ def render_tiles(
     bins: TileBins,
 ):
     """Tile-layout render fast path: the fused pack+composite WITHOUT the
-    [NC, H, W] image assembly. Returns out6 [n_tiles, TILE*TILE, 6]
-    (channels: rgb, z, sil, z^2), background already applied.
+    [NC, H, W] image assembly. Returns out6 CHANNEL-major
+    [n_tiles, 6, TILE*TILE] (channels: rgb, z, sil, z^2), background
+    already applied.
 
     Tracking's losses are elementwise + global masked reductions, so they
     evaluate identically in this layout (same pixel set via
-    tile_pixel_valid). Measured caveat (bisect_seg on v5e): with the
-    CURRENT [T, PIX, NC] kernel output this is net slower than assembling
-    the image — NC=6 sits on the minor (lane) dim, so XLA lane-pads every
-    elementwise loss op ~21x. Gated behind MM3DGS_TRACK_TILES until the
-    kernel emits channel-major accumulators. Requires pallas bins built
-    with slot tables (align=CHUNK)."""
+    tile_pixel_valid), skipping the assembly transpose and its backward.
+    The kernel emits channel-major accumulators (pixels stay on the lane
+    dim — an earlier [T, PIX, NC] variant lane-padded every loss op ~21x
+    and measured net slower). Requires pallas bins built with slot tables
+    (align=CHUNK)."""
     proj = project_for_pose(g, camera_pose, rs)
     from .pallas_composite import _composite_packed
 
@@ -186,9 +189,9 @@ def render_tiles(
     acc, tfin = _composite_packed(
         proj.packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
         bins.big_slots, bins.big_gauss, bins.big_valid, bins.tile_start,
-        bins.tile_count, rs.cam, False, rs.grad_bf16,
+        bins.tile_count, rs.cam, False, rs.grad_bf16, None, None, True,
     )
-    return acc + tfin * bg[None, None, :]
+    return acc + tfin * bg[None, :, None]
 
 
 def background(rs: RenderSettings, channels: int = 6) -> jnp.ndarray:

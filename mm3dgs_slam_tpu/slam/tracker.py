@@ -115,7 +115,7 @@ def tracking_loss(
 def tracking_loss_tiles(
     g: ActivatedGaussians,
     pose: jnp.ndarray,
-    gt_color_t: jnp.ndarray,   # [n_tiles, PIX, 3]
+    gt_color_t: jnp.ndarray,   # [n_tiles, 3, PIX] (channel-major)
     gt_depth_t: jnp.ndarray,   # [n_tiles, PIX]
     est_depth_t: jnp.ndarray,  # [n_tiles, PIX]
     valid: jnp.ndarray,        # [n_tiles, PIX] in-image mask
@@ -123,7 +123,8 @@ def tracking_loss_tiles(
     ts: TrackSettings,
     bins: TileBins,
 ) -> jnp.ndarray:
-    """tracking_loss evaluated in the compositor's tile layout.
+    """tracking_loss evaluated in the compositor's channel-major tile
+    layout [n_tiles, C, PIX].
 
     Every tracking loss term is elementwise or a global masked reduction
     (L1, Pearson over masked pixels, pose prior), so it needs no [NC, H, W]
@@ -131,21 +132,21 @@ def tracking_loss_tiles(
     ~1.4 ms/iter at 640x480. Same pixel set as the cropped image via
     `valid`; values match tracking_loss up to fp summation order."""
     out6 = render_tiles(g, pose, ts.rs, bins)
-    image = out6[..., :3]
-    depth = out6[..., 3]
-    silhouette = out6[..., 4]
+    image = out6[:, :3]
+    depth = out6[:, 3]
+    silhouette = out6[:, 4]
     presence = (silhouette > 0.99) & valid
 
     if ts.method == "splatam":
-        depth_sq = out6[..., 5]
+        depth_sq = out6[:, 5]
         uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
         nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
         mask = (gt_depth_t > 0) & nan_mask & presence
         loss_depth = masked_sum(jnp.abs(gt_depth_t - depth), mask)
-        loss_im = masked_sum(jnp.abs(gt_color_t - image), mask[..., None])
+        loss_im = masked_sum(jnp.abs(gt_color_t - image), mask[:, None])
         return loss_depth + 0.5 * loss_im
 
-    loss = masked_mean(jnp.abs(image - gt_color_t), presence[..., None])
+    loss = masked_mean(jnp.abs(image - gt_color_t), presence[:, None])
     if ts.use_depth_estimate_loss:
         if ts.use_gt_depth:
             dmask = presence & (gt_depth_t > 0)

@@ -60,11 +60,14 @@ def main():
     z4, z3 = jnp.zeros(4), jnp.zeros(3)
     zdep = jnp.zeros((480, 640), jnp.float32)
 
-    def run(tag, gbf16):
+    def run(tag, gbf16, rebin=N_ITERS):
+        # rebin_every is unused inside _track_segment — varying it only
+        # forces a fresh trace (so an env-knob flip is actually seen
+        # instead of hitting the jit cache)
         ts = TrackSettings(rs=rs._replace(grad_bf16=gbf16), iters=N_ITERS,
                            method="vigs", use_gt_depth=True,
                            position_lr=0.001, rotation_lr=0.003,
-                           rebin_every=N_ITERS)
+                           rebin_every=rebin)
 
         def seg(s):
             carry = (base[:4] * s, base[4:], z4, z4, z3, z3,
@@ -85,6 +88,19 @@ def main():
 
     run("track seg bf16", True)
     run("track seg f32 ", False)
+    # tile-layout loss path (channel-major kernel output, no assembly)
+    prev = os.environ.get("MM3DGS_TRACK_TILES")
+    os.environ["MM3DGS_TRACK_TILES"] = "1"
+    try:
+        run("track seg TILES", False, rebin=N_ITERS + 1)
+    finally:
+        if prev is None:
+            del os.environ["MM3DGS_TRACK_TILES"]
+        else:
+            os.environ["MM3DGS_TRACK_TILES"] = prev
+
+    if os.environ.get("MM3DGS_SEG_ONLY") == "track":
+        return
 
     # loop-level decomposition (same fori_loop dispatch shape):
     # B: fused pack+kernel fwd+bwd only  C: B + assembly + masked L1

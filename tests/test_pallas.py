@@ -95,3 +95,42 @@ def test_pallas_bf16_grads_close_to_f32():
     g16 = jax.grad(lambda x: loss(x, True))(proj.packed)
     scale = jnp.maximum(jnp.max(jnp.abs(g32)), 1e-12)
     assert float(jnp.max(jnp.abs(g16 - g32)) / scale) < 1e-2
+
+
+def test_pallas_chan_major_matches_row_major():
+    """Channel-major [T, NC, PIX] output (the tile-layout loss path) must be
+    an exact re-layout of the row-major output, forward AND backward."""
+    from mm3dgs_slam_tpu.ops.pallas_composite import _composite_packed
+
+    cam, g, rs, proj, bins = _setup(5, n=150, n_dead=10)
+
+    def run(chan_major):
+        def loss(packed):
+            acc, tfin = _composite_packed(
+                packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
+                bins.big_slots, bins.big_gauss, bins.big_valid,
+                bins.tile_start, bins.tile_count, cam, True, False, None,
+                None, chan_major)
+            # identical scalar in both layouts (weights tied to channel id)
+            w = jnp.arange(1.0, 7.0)
+            wacc = acc * (w[None, :, None] if chan_major
+                          else w[None, None, :])
+            return jnp.sum(wacc) + 2.0 * jnp.sum(tfin), (acc, tfin)
+
+        (val, (acc, tfin)), grad = jax.value_and_grad(
+            loss, has_aux=True)(proj.packed)
+        if chan_major:
+            acc = jnp.transpose(acc, (0, 2, 1))
+            tfin = jnp.transpose(tfin, (0, 2, 1))
+        return val, acc, tfin, grad
+
+    v0, a0, t0, g0 = run(False)
+    v1, a1, t1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+    # gradients: the transposed-layout dots re-associate fp summation
+    # (~1e-5 rel observed); forward values above are bit-exact
+    scale = np.maximum(np.abs(np.asarray(g0)), 1e-3 * np.abs(g0).max())
+    np.testing.assert_array_less(
+        np.abs(np.asarray(g1) - np.asarray(g0)) / scale, 2e-3)

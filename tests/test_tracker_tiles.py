@@ -1,8 +1,8 @@
 """Tile-layout tracking loss == image-layout tracking loss.
 
 tracking_loss_tiles (slam/tracker.py) evaluates every tracking loss term in
-the compositor's native [n_tiles, PIX, C] layout to skip the per-iteration
-image assembly. This must be a pure re-layout: with the SAME rendered
+the compositor's native channel-major [n_tiles, C, PIX] layout to skip the
+per-iteration image assembly. This must be a pure re-layout: with the SAME rendered
 values, the loss must match tracking_loss bit-for-near (fp summation order
 only). The kernel itself is covered by tests/test_pallas.py; here
 render_tiles is stubbed with a to_tiles() re-layout of the image-path
@@ -77,10 +77,10 @@ def test_to_tiles_roundtrip_and_valid():
     img = jnp.arange(3 * 52 * 70, dtype=jnp.float32).reshape(3, 52, 70)
     t = to_tiles(img, cam)
     valid = tile_pixel_valid(cam)
-    assert t.shape == (cam.n_tiles, 256, 3)
+    assert t.shape == (cam.n_tiles, 3, 256)
     assert int(valid.sum()) == 52 * 70
     # assemble back (the compositor's assembly) and compare
     ty, tx = cam.tiles_y, cam.tiles_x
-    back = t.reshape(ty, tx, 16, 16, 3).transpose(4, 0, 2, 1, 3)
+    back = t.reshape(ty, tx, 3, 16, 16).transpose(2, 0, 3, 1, 4)
     back = back.reshape(3, ty * 16, tx * 16)[:, :52, :70]
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
