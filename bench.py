@@ -25,6 +25,59 @@ MAP_ITERS = 150
 BASELINE_FPS = 30.0        # north-star target (BASELINE.json)
 
 
+def kernel_grad_check():
+    """Hardware-gated invariant lock (runs on every bench): the COMPILED
+    Pallas backward (incl. the trip-wide write-back whose trailing spill
+    crosses into the next tile's first chunk, and the early-exit zero-fill)
+    must agree with the XLA compositor's gradients on a scene with
+    odd-in-CHUNK segment counts. The CPU suite only covers interpret mode,
+    so a Mosaic lowering / grid-semantics change that corrupts the
+    cross-program spill/rewrite invariant would otherwise ship silently —
+    corruption shows as full-magnitude garbage in some gaussians' grads,
+    far outside the mixed-precision gradient walk's ~1% envelope."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_scene
+    from mm3dgs_slam_tpu.ops.pallas_composite import CHUNK, UNROLL
+    from mm3dgs_slam_tpu.ops.render import RenderSettings, render
+
+    m, cam = _build_scene(1 << 11, cam_hw=(120, 160))
+    g = m.activated()
+    rs_pl = RenderSettings(cam=cam, pair_cap=1 << 18, max_per_tile=512,
+                           chunk=32, max_tiles_per_gaussian=16,
+                           use_pallas=True, bin_d1=4, bin_big_frac=7,
+                           bin_d2_live=8)
+    rs_xla = rs_pl._replace(use_pallas=False)
+    pose = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
+
+    def loss(opacity, use_pallas):
+        out = render(g._replace(opacity=opacity), pose,
+                     rs_pl if use_pallas else rs_xla)
+        img6 = jnp.concatenate([out["render"], out["depth"]], axis=0)
+        w = (1.0 + jnp.arange(6.0))[:, None, None]
+        return jnp.sum(img6 * w), out["bins"]
+
+    (_, bins), g_pl = jax.jit(
+        jax.value_and_grad(lambda o: loss(o, True), has_aux=True))(g.opacity)
+    (_, _), g_xla = jax.jit(
+        jax.value_and_grad(lambda o: loss(o, False), has_aux=True))(g.opacity)
+    g_pl, g_xla = jax.device_get((g_pl, g_xla))
+    import numpy as np
+
+    counts = np.asarray(bins.tile_count)
+    chunks = -(-counts // CHUNK)
+    assert (chunks % UNROLL != 0).any(), (
+        "grad check scene has no odd-in-trip segments — does not exercise "
+        "the write-back spill")
+    scale = max(float(np.abs(g_xla).max()), 1e-6)
+    mask = np.abs(g_xla) > 1e-3 * scale
+    rel = np.abs(g_pl - g_xla)[mask] / np.abs(g_xla)[mask]
+    assert rel.max() < 0.05, (
+        f"pallas bwd grads diverge from XLA by {rel.max():.3f} rel — "
+        "spill/rewrite invariant broken?")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -36,6 +89,8 @@ def main():
     from mm3dgs_slam_tpu.slam.tracker import TrackSettings, track_frame
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        kernel_grad_check()
     m, cam = _build_scene(N_GAUSSIANS, cam_hw=(H, W))
     adam = G.init_adam(m)
     # Knobs sized to the scene's measured POST-CULL binning stats (the

@@ -24,6 +24,14 @@ _DEFAULTS: dict[str, Any] = {
     "dpt_model": "midas",
     "inputdir": None,
     "save_iterations": [],
+    # How monocular depth estimates are scaled to metric on frame 0
+    # (SLAM.py:411-448): "ls" = closed-form LS fit against GT depth (the
+    # reference's UTMM branch), "tum_heuristic" = the fixed
+    # png_depth_scale/10 magnitude heuristic tuned for MiDaS on TUM.
+    # None resolves from the dataset name for the reference's own datasets
+    # (utmm/synthetic -> ls, tum -> tum_heuristic) and FAILS LOUDLY for any
+    # other dataset running monocular — set it explicitly there.
+    "depth_fit": None,
     # TPU-specific rasterizer/runtime knobs (absent from the reference; all
     # have conservative defaults and can be set in YAML under `tpu:`).
     "tpu": {
@@ -47,8 +55,82 @@ _DEFAULTS: dict[str, Any] = {
         "map_rebin_every": 1,          # mapping binning refresh cadence
         "group_mapping_schedule": False,  # contiguous per-keyframe blocks
         "mesh_devices": 1,             # gaussian-shard mesh size (1 = off)
+        "check_overflow": True,        # host-check binning caps per frame
+                                       # (one cheap fetch; warns + counts
+                                       # breaches — slam.py run loop)
+        # Kernel-module constants, exported to the MM3DGS_* environment by
+        # apply_tpu_env() BEFORE the kernel modules import (they are traced
+        # into compiled programs, so they cannot vary per-call). A YAML file
+        # fully determines a run; an explicitly-set env var still wins as
+        # the A/B-measurement escape hatch.
+        "tile": 16,                    # MM3DGS_TILE: tile edge in pixels
+        "pl_chunk": 128,               # MM3DGS_PL_CHUNK: pairs per chunk
+        "pl_unroll": 2,                # MM3DGS_PL_UNROLL: chunks per trip
+        "pl_precision": "mixed",       # MM3DGS_PL_PRECISION:
+                                       #   highest|mixed|default (PROFILE.md)
+        "pl_fwd_split": "v3",          # MM3DGS_PL_FWD_SPLIT: v0..v3
+        "pl_early_exit": False,        # MM3DGS_PL_EARLY_EXIT: saturation
+                                       # early-exit; the per-trip check
+                                       # measured NET-SLOWER on dense maps
+                                       # (17.81 vs 18.56 ms/iter) — enable
+                                       # for heavy-overdraw scenes
+        "track_tiles": True,           # MM3DGS_TRACK_TILES: tile-layout
+                                       # tracking loss (1.1 ms/iter faster
+                                       # than image assembly on v5e)
     },
 }
+
+# cfg["tpu"] key -> (env var, to-env-string, module attr to cross-check)
+_TPU_ENV_KNOBS: dict[str, tuple[str, Any, tuple[str, str] | None]] = {
+    "tile": ("MM3DGS_TILE", str, ("mm3dgs_slam_tpu.ops.camera", "TILE")),
+    "pl_chunk": ("MM3DGS_PL_CHUNK", str,
+                 ("mm3dgs_slam_tpu.ops.pallas_composite", "CHUNK")),
+    "pl_unroll": ("MM3DGS_PL_UNROLL", str,
+                  ("mm3dgs_slam_tpu.ops.pallas_composite", "UNROLL")),
+    "pl_precision": ("MM3DGS_PL_PRECISION", str,
+                     ("mm3dgs_slam_tpu.ops.pallas_composite", "_PREC_MODE")),
+    "pl_fwd_split": ("MM3DGS_PL_FWD_SPLIT", str,
+                     ("mm3dgs_slam_tpu.ops.pallas_composite", "_FWD_SPLIT")),
+    "pl_early_exit": ("MM3DGS_PL_EARLY_EXIT", lambda b: "1" if b else "0",
+                      ("mm3dgs_slam_tpu.ops.pallas_composite", "EARLY_EXIT")),
+    # read at trace time, not import time — no module constant to check
+    "track_tiles": ("MM3DGS_TRACK_TILES", lambda b: "1" if b else "0", None),
+}
+
+
+def apply_tpu_env(cfg: dict) -> None:
+    """Export cfg['tpu'] kernel knobs to the MM3DGS_* environment.
+
+    The Pallas kernel modules read these at import (module constants traced
+    into every compiled program), so SLAM.__init__ calls this before any
+    lazy kernel import. If a kernel module is ALREADY imported with a
+    conflicting value the config cannot take effect — that is an error, not
+    a silent ignore. Env vars the user set explicitly take precedence over
+    YAML (documented escape hatch for A/B probes)."""
+    import os
+    import sys
+
+    tpu = cfg.get("tpu", {})
+    for key, (env, to_str, check) in _TPU_ENV_KNOBS.items():
+        if key not in tpu:
+            continue
+        want = to_str(tpu[key])
+        if env in os.environ:
+            continue  # explicit env wins
+        if check is not None:
+            mod = sys.modules.get(check[0])
+            if mod is not None:
+                have = getattr(mod, check[1])
+                have_s = (("1" if have else "0") if isinstance(have, bool)
+                          else str(have))
+                if have_s != want:
+                    raise RuntimeError(
+                        f"tpu.{key}={tpu[key]!r} but {check[0]}.{check[1]} "
+                        f"was already imported as {have!r}; set the config "
+                        f"before importing kernel modules (slam_top.py "
+                        f"does) or export {env} explicitly")
+                continue  # already imported, consistent — nothing to do
+        os.environ[env] = want
 
 _BLOCK_DEFAULTS: dict[str, dict[str, Any]] = {
     "debug": {"get_runtime_stats": False, "create_video": False,

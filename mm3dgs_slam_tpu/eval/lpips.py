@@ -70,6 +70,42 @@ def lpips(img1, img2, net_type: str = "vgg") -> float:
     return float(_lpips_value(jnp.asarray(img1), jnp.asarray(img2), w))
 
 
+@lru_cache(maxsize=1)
+def _proxy_weights():
+    """Deterministic random VGG16 weights (He init, fixed seed) + uniform
+    unit linear heads for the lpips_proxy metric. Random-feature VGG
+    distances are a well-documented perceptual-similarity baseline
+    (randomly-initialized networks score ~0.82 2AFC vs ~0.69 for per-pixel
+    L2 in the LPIPS paper's own Table 5, vs ~0.85 trained) — good enough
+    for a REGRESSION signal, clearly labeled as not the calibrated LPIPS."""
+    rng = np.random.default_rng(0)
+    w = {}
+    li = 0
+    in_c = 3
+    for block, n_conv in enumerate(_VGG_LAYERS):
+        out_c = _FEAT_CHANNELS[block]
+        for _ in range(n_conv):
+            std = float(np.sqrt(2.0 / (in_c * 9)))
+            w[f"conv{li}_w"] = rng.normal(
+                0.0, std, (out_c, in_c, 3, 3)).astype(np.float32)
+            w[f"conv{li}_b"] = np.zeros((out_c,), np.float32)
+            in_c = out_c
+            li += 1
+        w[f"lin{block}_w"] = np.full((out_c,), 1.0 / out_c, np.float32)
+    return w
+
+
+def lpips_proxy(img1, img2) -> float:
+    """Always-finite perceptual distance on the same VGG16 graph with
+    shipped deterministic random weights — the labeled in-repo fallback for
+    environments where the pretrained LPIPS weights cannot be staged
+    (reported as `lpips_proxy`, never as `lpips`). Comparable only against
+    itself across runs of this framework."""
+    return float(_lpips_value(jnp.asarray(img1, jnp.float32),
+                              jnp.asarray(img2, jnp.float32),
+                              _proxy_weights()))
+
+
 @jax.jit
 def _lpips_value(img1, img2, w):
     shift = jnp.asarray(_SHIFT)[:, None, None]

@@ -51,10 +51,22 @@ class TileBins(NamedTuple):
     # its pairs — turns the pack-gather's backward from a P-sized scatter-add
     # into fixed-width gathers + sums (TPU scatters are ~25x slower than
     # gathers). None on the non-pallas path.
+    #
+    # small_slots rows are keyed by ORIGINAL gaussian id. A depth-ordered
+    # row layout (depth-adjacent rows gather adjacent buffer slots, plus a
+    # final [N]-row un-permute in the reduce) was the round-3 lever-1
+    # candidate and measured slightly SLOWER in a same-process A/B on v5e
+    # (7.65-8.9 vs 7.2-7.3 ms/iter reduce loop, scripts/probe_reduce_order
+    # .py): TPU row-gather cost is index-locality-insensitive at this
+    # scale, so the extra gather only adds. Kept behind
+    # build_bins(depth_tables=True) + `gauss_rank` for re-measurement on
+    # other topologies.
     small_slots: jnp.ndarray | None = None  # [N, D1] int32 (SLOT_SENTINEL pad)
     big_slots: jnp.ndarray | None = None    # [big_cap, D2] int32
     big_gauss: jnp.ndarray | None = None    # [big_cap] int32 gaussian ids
     big_valid: jnp.ndarray | None = None    # [big_cap] bool
+    gauss_rank: jnp.ndarray | None = None   # [N] int32 original id -> depth
+                                            # row (depth_tables=True only)
 
 
 def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
@@ -163,7 +175,8 @@ def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
 @partial(
     jax.jit,
     static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align",
-                     "d1", "big_frac", "n_local", "tight_cull", "d2_live"),
+                     "d1", "big_frac", "n_local", "tight_cull", "d2_live",
+                     "depth_tables"),
 )
 def build_bins(
     proj: ProjectedGaussians,
@@ -177,14 +190,23 @@ def build_bins(
     n_local: int | None = None,
     tight_cull: bool = True,
     d2_live: int = 0,
+    depth_tables: bool = False,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
     Args:
       proj: projected Gaussians (radius == 0 rows are skipped).
       cam: static camera (defines the tile grid).
-      pair_cap: unused (kept for call compatibility); the pair buffer is
-        sized N*d1 + (N//big_frac)*max_tiles_per_gaussian.
+      pair_cap: static cap on the ALIGNED pair-buffer size (align>0 only;
+        0 = worst-case sizing N*d1 + big_cap*D2 + per-tile pad). The
+        worst case assumes every candidate slot is live, but after the
+        alpha cull typically only ~40-60% are — and the pack's wide row
+        gather, the backward's [NF, buf_cap] gradient buffer, its HBM
+        transpose and the zero-fill all scale with the BUFFER, not with
+        live pairs. A cap at ~1.3x the live-pair high-water mark halves
+        those costs; breaches clamp the overflowing tail tiles (pairs
+        dropped, same semantics as the other static caps) and set
+        `overflow`, which the per-frame host check surfaces.
       max_tiles_per_gaussian: static cap on tiles one Gaussian may cover
         (row-major truncation beyond that; pruning keeps screen extents
         bounded in the SLAM setting).
@@ -215,7 +237,6 @@ def build_bins(
         pair buffer by ~2x with zero loss; breaches set `overflow` (the
         per-frame host check surfaces them).
     """
-    del pair_cap
     xy = jax.lax.stop_gradient(proj.xy)
     depth = jax.lax.stop_gradient(proj.depth)
     radius = proj.radius
@@ -349,7 +370,7 @@ def build_bins(
         | live_trunc
     )
 
-    small_slots = big_slots = big_gauss_out = big_valid_out = None
+    small_slots = big_slots = big_gauss_out = big_valid_out = rank_of = None
     if align:
         # 5. one scatter into a chunk-aligned layout (pallas DMA requirement).
         # P-sized ops here are the binning hot spot (measured: [n_tiles]-table
@@ -367,6 +388,15 @@ def build_bins(
         # trip-wide write-back may spill up to UNROLL-1 zero chunks past
         # the last segment's aligned end
         buf_cap = P + n_tiles * align + 4 * align
+        # static buffer cap (see pair_cap docstring): clamp overflowing
+        # tail tiles so every kernel DMA (walk reads up to the segment's
+        # aligned end, spill writes up to +4*align past it) stays in
+        # bounds; clamped-away pairs simply keep the sentinel row (never
+        # scattered), identical to the other caps' drop semantics
+        usable = None
+        if pair_cap and pair_cap < buf_cap:
+            buf_cap = max((pair_cap // align) * align, 8 * align)
+            usable = buf_cap - 4 * align
         delta = aligned_start - tile_start  # [n_tiles], non-decreasing
         # Per-pair delta WITHOUT a [n_tiles]-table gather (measured ~6 ms/M
         # indices on v5e): pairs are tile-sorted, so delta-per-pair is a
@@ -383,6 +413,13 @@ def build_bins(
             jnp.arange(P, dtype=jnp.int32) + pair_delta,
             buf_cap,
         )
+        if usable is not None:
+            overflow = overflow | (
+                aligned_start[-1] + aligned_sizes[-1] > usable
+            )
+            target = jnp.where(target < usable, target, buf_cap)
+            aligned_start = jnp.minimum(aligned_start, usable)
+            tile_count = jnp.clip(tile_count, 0, usable - aligned_start)
         # sentinel gauss id N marks invalid slots: the pack's row gather uses
         # mode="fill" so they read as all-zero pair data
         pg = jnp.full((buf_cap,), N, jnp.int32).at[target].set(
@@ -398,13 +435,19 @@ def build_bins(
             num_keys=1,
         )
         small_depth_order = slot_of_cand[: N * D1_].reshape(N, D1_)
-        # rows are in depth order; re-key by ORIGINAL gaussian id so the
-        # pack backward indexes directly with no extra permutation
-        # (row gather by the inverse depth permutation, not a row scatter)
         rank_of = jnp.zeros((N,), jnp.int32).at[order].set(
             jnp.arange(N, dtype=jnp.int32)
         )
-        small_slots = small_depth_order[rank_of]
+        if depth_tables:
+            # measured-slower experimental layout (see TileBins docstring):
+            # rows in depth order + gauss_rank un-permute in the reduce
+            small_slots = small_depth_order
+        else:
+            # rows re-keyed by ORIGINAL gaussian id so the pack backward
+            # indexes directly (row gather by the inverse depth
+            # permutation, not a row scatter)
+            small_slots = small_depth_order[rank_of]
+            rank_of = None
         big_slots = slot_of_cand[N * D1_:].reshape(big_cap, D2L)
         big_gauss_out = order[big_sel]
         big_valid_out = big_valid
@@ -422,4 +465,5 @@ def build_bins(
         big_slots=big_slots,
         big_gauss=big_gauss_out,
         big_valid=big_valid_out,
+        gauss_rank=rank_of,
     )

@@ -56,10 +56,15 @@ from .camera import TILE, Camera
 import os as _os
 
 CHUNK = int(_os.environ.get("MM3DGS_PL_CHUNK", "128"))
-# Early tile exit once every pixel saturates: the check is a per-chunk
-# VREG->scalar min(done) reduction + branch (the expensive class the
-# lax.cond experiment exposed); 0 disables it to walk every chunk.
-EARLY_EXIT = _os.environ.get("MM3DGS_PL_EARLY_EXIT", "1") != "0"
+# Early tile exit once every pixel saturates: the check is a per-trip
+# VREG->scalar min(done) reduction folded into the while cond — exactly the
+# data-dependent-branch class gotcha 12 prices at ~0.55 us/branch. Clean
+# adjacent A/B on the bench scene (dense pixel-scale map, segments already
+# tight post-cull): EXIT OFF tracks at 17.81 ms/iter vs 18.56 ON — the
+# check costs more than the skipped chunks save, so the DEFAULT is OFF.
+# Scenes with long occluded tails (heavy overdraw, big splats) may flip
+# the sign: set tpu.pl_early_exit / MM3DGS_PL_EARLY_EXIT=1 there.
+EARLY_EXIT = _os.environ.get("MM3DGS_PL_EARLY_EXIT", "0") != "0"
 # Chunks walked per while-loop trip (one W = UNROLL*CHUNK-wide DMA per
 # trip). The per-chunk cost is dominated by chunk-pipeline fixed costs —
 # DMA issue/wait chains plus the loop's own branch structure (~0.55 us per
@@ -75,6 +80,11 @@ EARLY_EXIT = _os.environ.get("MM3DGS_PL_EARLY_EXIT", "1") != "0"
                     # per-chunk fixed costs against +CHUNK/2 average padding
                     # per tile segment (bins are aligned to CHUNK)
 UNROLL = int(_os.environ.get("MM3DGS_PL_UNROLL", "2"))
+# binning's buffer tail pad (buf_cap = P + n_tiles*align + 4*align) covers
+# the trip-wide prefetch DMA and the backward's write-back spill only for
+# UNROLL <= 4 — larger values would silently read/write past the buffer
+assert 1 <= UNROLL <= 4, \
+    "MM3DGS_PL_UNROLL must be 1..4 (binning tail pad covers 4*CHUNK)"
 W = UNROLL * CHUNK  # pairs per DMA / per while-loop trip
 SUB = 128           # triangular-cumsum sub-block (keeps the O(CHUNK*SUB)
                     # MXU cost per pair constant when CHUNK grows)
@@ -852,7 +862,8 @@ def _cp_bwd(cam, interpret, res, cts):
 composite_pairs_pallas.defvjp(_cp_fwd, _cp_bwd)
 
 
-def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid):
+def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid,
+                  gauss_rank=None):
     """Per-pair row gradients -> per-gaussian [N, NF] via the slot tables.
 
     Two FLAT wide-row gathers (out-of-range SLOT_SENTINEL slots read as 0)
@@ -866,31 +877,41 @@ def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid):
         matmul, which re-reads its fused operand once per pass) back into
         the gather re-executes the gather per output element,
       * clip-mode gathers are ~25x slower than fill-mode on this backend;
-        never use plain `x[idx]` at this scale.
+        never use plain `x[idx]` at this scale,
+      * `gauss_rank` set means small_slots rows are in DEPTH order (see
+        binning.TileBins): pairs are (tile, depth)-sorted, so the big
+        gather's indices walk d1 quasi-sequential HBM streams instead of
+        random rows; the [N, NF] result is un-permuted back to original
+        gaussian ids with one cheap row gather at the end.
     ~25x cheaper than the P-sized scatter-add transpose the plain gather
     VJP would emit."""
     dpair16 = jax.lax.optimization_barrier(dpair_fm.T)
     n, d1 = small_slots.shape
     big_cap, d2 = big_slots.shape
 
-    # ONE merged gather over both tiers' slot tables (saves a second gather
-    # dispatch + its fixed cost); the two reshape-sums accumulate in f32
-    # regardless of the emitted gradient dtype (bf16 production path).
-    idx = jnp.concatenate([small_slots.reshape(-1), big_slots.reshape(-1)])
-    g = dpair16.at[idx].get(mode="fill", fill_value=0)
-    g = jax.lax.optimization_barrier(g)
-    acc = g[: n * d1].reshape(n, d1, NF).sum(axis=1, dtype=jnp.float32)
-    big_sum = g[n * d1:].reshape(big_cap, d2, NF).sum(axis=1,
-                                                      dtype=jnp.float32)
+    # TWO separate tier gathers: a round-2 pass merged them to save a
+    # dispatch, but in-loop (no dispatch cost) the split is ~1 ms/iter
+    # FASTER at the bench scene (674k merged 5.78 vs 524k+150k split 4.74,
+    # scripts/probe_reduce3.py — the smaller gather pipelines). Both
+    # reshape-sums accumulate in f32 regardless of the emitted gradient
+    # dtype (bf16 production path).
+    gs = dpair16.at[small_slots.reshape(-1)].get(mode="fill", fill_value=0)
+    gs = jax.lax.optimization_barrier(gs)
+    acc = gs.reshape(n, d1, NF).sum(axis=1, dtype=jnp.float32)
+    if gauss_rank is not None:
+        acc = acc.at[gauss_rank].get(mode="fill", fill_value=0.0)
+    gb = dpair16.at[big_slots.reshape(-1)].get(mode="fill", fill_value=0)
+    gb = jax.lax.optimization_barrier(gb)
+    big_sum = gb.reshape(big_cap, d2, NF).sum(axis=1, dtype=jnp.float32)
     big_sum = jnp.where(big_valid[:, None], big_sum, 0.0)
     return acc.at[big_gauss].add(big_sum)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 14, 15))
 def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
-                      big_gauss, big_valid, tile_start, tile_count,
-                      cam, interpret, grad_bf16=False, tile_lo=None,
-                      n_local=None, chan_major=False):
+                      big_gauss, big_valid, gauss_rank, tile_start,
+                      tile_count, cam, interpret, grad_bf16=False,
+                      tile_lo=None, n_local=None, chan_major=False):
     """Fused pack + composite with the slot-table backward.
 
     One differentiable unit from per-gaussian packed rows to tile outputs:
@@ -906,27 +927,29 @@ def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
 
 
 def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
-             big_gauss, big_valid, tile_start, tile_count, cam, interpret,
-             grad_bf16=False, tile_lo=None, n_local=None, chan_major=False):
+             big_gauss, big_valid, gauss_rank, tile_start, tile_count, cam,
+             interpret, grad_bf16=False, tile_lo=None, n_local=None,
+             chan_major=False):
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
                                       interpret, tile_lo, n_local, chan_major)
     res = (pair_rows, acc, tfin, small_slots, big_slots, big_gauss,
-           big_valid, tile_start, tile_count, tile_lo)
+           big_valid, gauss_rank, tile_start, tile_count, tile_lo)
     return (acc, tfin), res
 
 
 def _cpk_bwd(cam, interpret, grad_bf16, n_local, chan_major, res, cts):
     (pair_rows, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
-     tile_start, tile_count, tile_lo) = res
+     gauss_rank, tile_start, tile_count, tile_lo) = res
     dacc, dtfin = cts
     dpair_fm = _composite_pallas_bwd_rows(
         pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
         interpret, grad_bf16, tile_lo, n_local, chan_major,
     )
     dpacked = _table_reduce(dpair_fm, small_slots, big_slots, big_gauss,
-                            big_valid)
-    return (dpacked, None, None, None, None, None, None, None, None, None)
+                            big_valid, gauss_rank)
+    return (dpacked, None, None, None, None, None, None, None, None, None,
+            None)
 
 
 _composite_packed.defvjp(_cpk_fwd, _cpk_bwd)
@@ -939,7 +962,8 @@ def composite_tiles_pallas(proj, bins, cam: Camera, bg: jnp.ndarray,
         acc, tfin = _composite_packed(
             proj.packed, bins.pair_gauss, bins.pair_valid,
             bins.small_slots, bins.big_slots, bins.big_gauss, bins.big_valid,
-            bins.tile_start, bins.tile_count, cam, interpret, grad_bf16,
+            bins.gauss_rank, bins.tile_start, bins.tile_count, cam,
+            interpret, grad_bf16,
         )
     else:
         pair_rows = pack_pairs(proj.packed, bins.pair_gauss, bins.pair_valid)

@@ -188,8 +188,9 @@ def render_tiles(
     bg = background(rs)
     acc, tfin = _composite_packed(
         proj.packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
-        bins.big_slots, bins.big_gauss, bins.big_valid, bins.tile_start,
-        bins.tile_count, rs.cam, False, rs.grad_bf16, None, None, True,
+        bins.big_slots, bins.big_gauss, bins.big_valid, bins.gauss_rank,
+        bins.tile_start, bins.tile_count, rs.cam, False, rs.grad_bf16,
+        None, None, True,
     )
     return acc + tfin * bg[None, :, None]
 

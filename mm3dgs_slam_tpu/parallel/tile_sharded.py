@@ -46,7 +46,9 @@ from ..ops.projection import ProjectedGaussians
 GAUSS_AXIS = "gauss"
 
 # TileBins leaves shipped across the shard_map boundary when window bins
-# are cached across iterations (each leaf sharded on its leading axis)
+# are cached across iterations (each leaf sharded on its leading axis).
+# `gauss_rank` is not shipped: window builds use the default
+# original-id-keyed tables (depth_tables=False), where it is None.
 _BIN_FIELDS = ("pair_gauss", "pair_valid", "tile_start", "tile_count",
                "n_pairs", "overflow", "small_slots", "big_slots",
                "big_gauss", "big_valid")
@@ -122,8 +124,9 @@ def composite_tiles_sharded(proj: ProjectedGaussians, cam: Camera,
     def composite(packed, lo, b):
         return _composite_packed(
             packed, b.pair_gauss, b.pair_valid, b.small_slots,
-            b.big_slots, b.big_gauss, b.big_valid, b.tile_start,
-            b.tile_count, cam, interpret, rs.grad_bf16, lo, tpb,
+            b.big_slots, b.big_gauss, b.big_valid, b.gauss_rank,
+            b.tile_start, b.tile_count, cam, interpret, rs.grad_bf16, lo,
+            tpb,
         )
 
     if bins is None:

@@ -44,6 +44,12 @@ def _to_np(x):
 class SLAM:
     def __init__(self, cfg: dict):
         cfg = normalize_config(cfg)
+        # export cfg.tpu kernel knobs to the env the (lazily-imported)
+        # kernel modules read; raises on conflict with already-imported
+        # constants instead of silently ignoring the YAML
+        from ..config import apply_tpu_env
+
+        apply_tpu_env(cfg)
         self.cfg = cfg
         self.method = cfg["method"].lower()
         self.use_imu = (cfg["tracking"]["dynamics_model"] or "").lower() == "imu"
@@ -263,12 +269,30 @@ class SLAM:
         if idx == 0 and not self._resume:
             # UTMM anchors frame 0 to GT depth by LS fit (SLAM.py:419-424);
             # TUM uses the fixed png_depth_scale/10 heuristic tuned for MiDaS
-            # output magnitudes (SLAM.py:426-430). Our synthetic demo set
-            # takes the LS branch (TinyDPT's output scale is arbitrary).
-            if self.cfg["dataset"].lower() in ("utmm", "synthetic"):
+            # output magnitudes (SLAM.py:426-430). The branch is keyed on the
+            # explicit `depth_fit` config flag ("ls" | "tum_heuristic");
+            # None resolves only for the reference's own datasets and fails
+            # loudly otherwise so a new loader cannot silently inherit the
+            # TUM magnitude heuristic.
+            mode = self.cfg.get("depth_fit")
+            if mode is None:
+                ds = self.cfg["dataset"].lower()
+                mode = {"utmm": "ls", "synthetic": "ls",
+                        "tum": "tum_heuristic"}.get(ds)
+                if mode is None:
+                    raise ValueError(
+                        f"dataset {ds!r} runs monocular (use_gt_depth: "
+                        "false) but has no default depth-scale anchoring; "
+                        "set depth_fit: ls (LS fit of frame 0 against GT "
+                        "depth, ref SLAM.py:419-424) or depth_fit: "
+                        "tum_heuristic (png_depth_scale/10 MiDaS magnitude "
+                        "heuristic, ref SLAM.py:426-430) in the config")
+            if mode == "ls":
                 mask = gt_depth_dev > 0
                 s, b = get_scale_shift_ls(est_depth_dev, gt_depth_dev, mask)
                 return 1.0 / (s * est_depth_dev + b)
+            if mode != "tum_heuristic":
+                raise ValueError(f"unknown depth_fit: {mode!r}")
             return (
                 1.0 / (est_depth_dev + 0.001)
                 * self.cfg["cam"]["png_depth_scale"] / 10.0
@@ -379,7 +403,7 @@ class SLAM:
         self.estimate_pose_list[idx] = upd_pose
 
         # --- Binning-cap surfacing (one scalar fetch per frame) ---------
-        if self.cfg["tpu"].get("check_overflow", True):
+        if self.cfg["tpu"]["check_overflow"]:
             self._check_binning_overflow(idx)
 
         # --- Logging ---------------------------------------------------
@@ -432,8 +456,16 @@ class SLAM:
         return out
 
     def evaluate_images(self, last_idx: int):
-        """PSNR/SSIM/LPIPS every eval_every frames (SLAM.py:197-231)."""
-        psnrs, ssims, lpipss = [], [], []
+        """PSNR/SSIM/LPIPS every eval_every frames (SLAM.py:197-231).
+
+        `lpips` is the calibrated metric and stays NaN unless pretrained
+        weights are staged (MM3DGS_LPIPS_WEIGHTS); `lpips_proxy` (same VGG16
+        graph, shipped deterministic random weights) is always finite so the
+        third quality column never silently disappears — labeled honestly,
+        comparable only against itself."""
+        from ..eval.lpips import lpips_proxy
+
+        psnrs, ssims, lpipss, proxies = [], [], [], []
         for idx in range(last_idx):
             if idx != 0 and (idx + 1) % self.cfg["eval_every"] != 0:
                 continue
@@ -443,7 +475,8 @@ class SLAM:
             psnrs.append(float(psnr_fn(img, gt)))
             ssims.append(float(ssim_fn(img, gt)))
             lpipss.append(lpips_fn(np.asarray(img), np.asarray(gt)))
-        return psnrs, ssims, lpipss
+            proxies.append(lpips_proxy(np.asarray(img), np.asarray(gt)))
+        return psnrs, ssims, lpipss, proxies
 
     def save_map(self, iteration: int):
         path = os.path.join(
@@ -495,10 +528,11 @@ class SLAM:
             results["ate_rmse"] = ate_w2c
             print(f"Average Trajectory Error RMSE: {ate_w2c} m")
 
-            psnrs, ssims, lpipss = self.evaluate_images(last_idx)
+            psnrs, ssims, lpipss, proxies = self.evaluate_images(last_idx)
             results["psnr_list"] = psnrs
             results["ssim_list"] = ssims
             results["lpips_list"] = lpipss
+            results["lpips_proxy_list"] = proxies
             if psnrs:
                 print("  PSNR : {:>12.7f}".format(np.mean(psnrs)))
                 print("  SSIM : {:>12.7f}".format(np.mean(ssims)))
@@ -506,6 +540,11 @@ class SLAM:
                 print("  LPIPS: {:>12.7f}".format(
                     np.mean(finite_lpips) if finite_lpips else float("nan")
                 ))
+                if not finite_lpips:
+                    # labeled fallback: random-VGG perceptual distance,
+                    # comparable only against itself (eval/lpips.py)
+                    print("  LPIPS-proxy (random-VGG, uncalibrated): "
+                          "{:>12.7f}".format(np.mean(proxies)))
 
         if self.cfg["debug"]["get_runtime_stats"]:
             t_it = self.tracking_time_sum / max(self.tracking_iter_count, 1)

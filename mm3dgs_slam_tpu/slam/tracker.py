@@ -204,18 +204,19 @@ def _track_segment(
     of the dispatch); `base_i` is the global iteration of step 0 (bias
     correction).
 
-    MM3DGS_TRACK_TILES=1 evaluates the loss in TILE layout
-    (tracking_loss_tiles) instead of assembling the [NC, H, W] image.
-    Measured on v5e this is 1.3 ms/iter SLOWER (21.0 vs 19.7, bisect_seg):
-    the [T, PIX, 6] tile tensor keeps NC=6 on the minor (lane) dim, so XLA
-    pads every elementwise loss op to 128 lanes (~21x memory
-    amplification) — more than the saved assembly transpose. The path is
-    kept (parity-tested in test_tracker_tiles.py) because it becomes the
-    win once the kernel emits channel-major [NC, T, PIX] accumulators;
-    default stays the image path."""
+    The loss is evaluated in the kernel's channel-major TILE layout
+    ([T, NC, PIX], tracking_loss_tiles) by DEFAULT instead of assembling
+    the [NC, H, W] image: with the kernel emitting channel-major
+    accumulators (pixels on the lane dim), skipping the assembly transpose
+    + its backward measured 1.1 ms/iter FASTER on v5e (18.78 vs 19.89,
+    bisect_seg 2026-08-19). An earlier [T, PIX, 6] variant was 1.3 ms/iter
+    slower (NC=6 on the minor dim lane-padded every loss op ~21x) — that
+    layout is gone. MM3DGS_TRACK_TILES=0 restores the image-assembly path
+    (parity-tested in test_tracker_tiles.py); values match up to fp
+    summation order."""
     import os as _os
 
-    tiled = (_os.environ.get("MM3DGS_TRACK_TILES", "0") == "1"
+    tiled = (_os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
              and ts.mesh is None and ts.rs.use_pallas
              and not ts.rs.use_oracle
              and isinstance(bins, TileBins) and bins.small_slots is not None)

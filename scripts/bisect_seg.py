@@ -34,9 +34,12 @@ def main():
                         bin_d1=8, bin_big_frac=7)
     base = jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
 
+    seg_cap = int(os.environ.get("MM3DGS_SEG_PAIRCAP", "0"))
+
     def mkbins(p, cull, d1, d2l):
         return build_bins(
-            project_for_pose(g, p, rs), cam, 0, rs.max_tiles_per_gaussian,
+            project_for_pose(g, p, rs), cam, seg_cap,
+            rs.max_tiles_per_gaussian,
             align=CHUNK, d1=d1, big_frac=rs.bin_big_frac,
             tight_cull=cull, d2_live=d2l)
 
@@ -48,7 +51,6 @@ def main():
               f"pairs={int(b.n_pairs)} "
               f"chunks={chunks} buf={b.pair_gauss.shape[0]} "
               f"overflow={bool(b.overflow)}")
-    import os
     d1_seg = int(os.environ.get("MM3DGS_SEG_D1", "4"))
     d2l_seg = int(os.environ.get("MM3DGS_SEG_D2L", "8"))
     rs = rs._replace(bin_d1=d1_seg, bin_d2_live=d2l_seg)
@@ -88,11 +90,12 @@ def main():
 
     run("track seg bf16", True)
     run("track seg f32 ", False)
-    # tile-layout loss path (channel-major kernel output, no assembly)
+    # image-assembly loss path (the pre-round-3 default; tile layout is
+    # now the default after it measured 1.1 ms/iter faster on chan-major)
     prev = os.environ.get("MM3DGS_TRACK_TILES")
-    os.environ["MM3DGS_TRACK_TILES"] = "1"
+    os.environ["MM3DGS_TRACK_TILES"] = "0"
     try:
-        run("track seg TILES", False, rebin=N_ITERS + 1)
+        run("track seg IMG ", False, rebin=N_ITERS + 1)
     finally:
         if prev is None:
             del os.environ["MM3DGS_TRACK_TILES"]
@@ -138,8 +141,8 @@ def main():
             acc, tfin = _composite_packed(
                 packed0 * sv, bins0.pair_gauss, bins0.pair_valid,
                 bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-                bins0.big_valid, bins0.tile_start, bins0.tile_count,
-                rs.cam, False)
+                bins0.big_valid, bins0.gauss_rank, bins0.tile_start,
+                bins0.tile_count, rs.cam, False)
             return jnp.sum(acc) + jnp.sum(tfin)
 
         return jax.grad(l)(s)
@@ -151,8 +154,8 @@ def main():
             acc, tfin = _composite_packed(
                 packed0 * sv, bins0.pair_gauss, bins0.pair_valid,
                 bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-                bins0.big_valid, bins0.tile_start, bins0.tile_count,
-                rs.cam, False)
+                bins0.big_valid, bins0.gauss_rank, bins0.tile_start,
+                bins0.tile_count, rs.cam, False)
             out = acc + tfin * bg[None, None, :]
             ty, tx = cam.tiles_y, cam.tiles_x
             img = out.reshape(ty, tx, TILE, TILE, 6)
@@ -169,8 +172,8 @@ def main():
         acc, tfin = _composite_packed(
             packed0 * s, bins0.pair_gauss, bins0.pair_valid,
             bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-            bins0.big_valid, bins0.tile_start, bins0.tile_count,
-            rs.cam, False)
+            bins0.big_valid, bins0.gauss_rank, bins0.tile_start,
+            bins0.tile_count, rs.cam, False)
         return jnp.sum(acc) + jnp.sum(tfin)
 
     loop(kern_fwd, "D kernel fwd only (no grad)  ")
@@ -191,7 +194,8 @@ def main():
             rows0, bins0.tile_start, bins0.tile_count, acc0, tfin0,
             jnp.full_like(acc0, s), jnp.full_like(tfin0, s), rs.cam)
         out = _table_reduce(dpair, bins0.small_slots, bins0.big_slots,
-                            bins0.big_gauss, bins0.big_valid)
+                            bins0.big_gauss, bins0.big_valid,
+                            bins0.gauss_rank)
         return jnp.sum(out)
 
     loop(bwd_red, "E bwd kernel + table reduce  ")

@@ -35,10 +35,13 @@ def main():
     last_idx = len(np.load(
         os.path.join(cfg["outputdir"], "results.npz"), allow_pickle=True
     )["pose_est"])
-    psnrs, ssims, lpipss = slam.evaluate_images(last_idx)
+    psnrs, ssims, lpipss, proxies = slam.evaluate_images(last_idx)
     print("  PSNR : {:>12.7f}".format(np.mean(psnrs)))
     print("  SSIM : {:>12.7f}".format(np.mean(ssims)))
     print("  LPIPS: {:>12.7f}".format(np.nanmean(lpipss) if lpipss else float("nan")))
+    if not np.isfinite(lpipss).any():
+        print("  LPIPS-proxy (random-VGG, uncalibrated): "
+              "{:>12.7f}".format(np.mean(proxies)))
 
 
 if __name__ == "__main__":

@@ -110,7 +110,8 @@ def main():
         acc, tfin = _composite_packed(
             packed0 * s, bins0.pair_gauss, bins0.pair_valid,
             bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-            bins0.big_valid, bins0.tile_start, bins0.tile_count, cam, False)
+            bins0.big_valid, bins0.gauss_rank, bins0.tile_start, bins0.tile_count,
+            cam, False)
         return jnp.sum(acc) + jnp.sum(tfin)
 
     timeit("pack+kernel fwd+bwd (d/dpacked)", jax.jit(jax.grad(closs)),
@@ -120,8 +121,8 @@ def main():
         acc, tfin = _composite_packed(
             packed0 * s, bins0.pair_gauss, bins0.pair_valid,
             bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-            bins0.big_valid, bins0.tile_start, bins0.tile_count, cam, False,
-            True)
+            bins0.big_valid, bins0.gauss_rank, bins0.tile_start, bins0.tile_count,
+            cam, False, True)
         return jnp.sum(acc) + jnp.sum(tfin)
 
     timeit("pack+kernel fwd+bwd bf16 grads", jax.jit(jax.grad(closs16)),
@@ -145,7 +146,7 @@ def main():
 
     def tred(s):
         return _table_reduce(dpair0 * s, bins0.small_slots, bins0.big_slots,
-                             bins0.big_gauss, bins0.big_valid)
+                             bins0.big_gauss, bins0.big_valid, bins0.gauss_rank)
 
     timeit("table_reduce alone (incl dpair*s)", jax.jit(tred), scales,
            args.reps)

@@ -48,7 +48,8 @@ def main():
         acc, tfin = pc._composite_packed(
             packed0 * sv, bins.pair_gauss, bins.pair_valid,
             bins.small_slots, bins.big_slots, bins.big_gauss,
-            bins.big_valid, bins.tile_start, bins.tile_count, rs.cam, False)
+            bins.big_valid, bins.gauss_rank, bins.tile_start, bins.tile_count,
+            rs.cam, False)
         return jnp.sum(acc) + jnp.sum(tfin)
 
     def loop(body, tag):
@@ -72,7 +73,7 @@ def main():
     def outputs():
         acc, tfin = jax.jit(lambda p: pc._composite_packed(
             p, bins.pair_gauss, bins.pair_valid, bins.small_slots,
-            bins.big_slots, bins.big_gauss, bins.big_valid,
+            bins.big_slots, bins.big_gauss, bins.big_valid, bins.gauss_rank,
             bins.tile_start, bins.tile_count, rs.cam, False))(packed0)
         gr = jax.jit(jax.grad(fwd_loss))(jnp.float32(1.0))
         gp = jax.jit(lambda p: jax.grad(
@@ -84,7 +85,8 @@ def main():
         acc, tfin = pc._composite_packed(
             pp, bins.pair_gauss, bins.pair_valid,
             bins.small_slots, bins.big_slots, bins.big_gauss,
-            bins.big_valid, bins.tile_start, bins.tile_count, rs.cam, False)
+            bins.big_valid, bins.gauss_rank, bins.tile_start, bins.tile_count,
+            rs.cam, False)
         return jnp.sum(acc ** 2) + jnp.sum(tfin ** 2)
 
     import numpy as np

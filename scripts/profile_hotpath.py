@@ -210,7 +210,8 @@ def main():
         acc, tfin = _composite_packed(
             packed * s, bins0.pair_gauss, bins0.pair_valid,
             bins0.small_slots, bins0.big_slots, bins0.big_gauss,
-            bins0.big_valid, bins0.tile_start, bins0.tile_count, cam, False)
+            bins0.big_valid, bins0.gauss_rank, bins0.tile_start, bins0.tile_count,
+            cam, False)
         return jnp.sum(acc) + jnp.sum(tfin)
 
     cgrad = jax.jit(jax.grad(closs))

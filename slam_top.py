@@ -25,10 +25,16 @@ def main():
     seed_everything()
     print("Running with config:", args.config)
 
-    from mm3dgs_slam_tpu.config import load_config
-    from mm3dgs_slam_tpu.slam.slam import SLAM
+    from mm3dgs_slam_tpu.config import apply_tpu_env, load_config
 
     cfg = load_config(args.config)
+    # export cfg.tpu kernel knobs BEFORE the kernel modules import (their
+    # module constants are traced into every compiled program) — the YAML
+    # file fully determines the run
+    apply_tpu_env(cfg)
+
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
     SLAM(cfg).run()
 
 

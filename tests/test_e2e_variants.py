@@ -88,7 +88,7 @@ def test_checkpoint_resume_and_eval_image(tmp_path):
         slam2.estimate_pose_list[:4], results["pose_est"], atol=1e-6
     )
     # re-render evaluation path (scripts/eval_image.py workflow)
-    psnrs, ssims, lpipss = slam2.evaluate_images(4)
+    psnrs, ssims, lpipss, proxies = slam2.evaluate_images(4)
     assert len(psnrs) >= 1 and np.isfinite(psnrs).all()
 
 

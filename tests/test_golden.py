@@ -34,3 +34,30 @@ def test_golden_full_budget(tmp_path):
     psnr = float(np.mean(r["psnr_list"]))
     assert ate < 0.01, f"golden ATE regressed: {ate}"
     assert psnr > 30.0, f"golden PSNR regressed: {psnr}"
+
+
+def test_golden_hard(tmp_path):
+    """Harder golden scene (texture + occlusion crossings + photometric
+    noise, configs/synthetic_hard.yml) at the same full budgets — stresses
+    NIQE keyframing, covisibility, silhouette masks and pruning beyond the
+    smooth surfel scene. Thresholds are loose floors under the committed
+    round-3 numbers (BASELINE.md golden table, hard-scene row)."""
+    import numpy as np
+
+    from mm3dgs_slam_tpu.config import load_config
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "synthetic_hard.yml"))
+    cfg["outputdir"] = str(tmp_path / "golden_hard")
+    slam = SLAM(cfg)
+    slam.run()
+
+    r = np.load(os.path.join(cfg["outputdir"], "results.npz"),
+                allow_pickle=True)
+    ate = float(r["ate_rmse"])
+    psnr = float(np.mean(r["psnr_list"]))
+    assert ate < 0.02, f"hard golden ATE regressed: {ate}"
+    # the noise floor alone caps PSNR ~40 at sigma 0.01; the map cannot
+    # exceed it and should not fall far below the committed number
+    assert psnr > 26.0, f"hard golden PSNR regressed: {psnr}"

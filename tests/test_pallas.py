@@ -108,7 +108,7 @@ def test_pallas_chan_major_matches_row_major():
         def loss(packed):
             acc, tfin = _composite_packed(
                 packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
-                bins.big_slots, bins.big_gauss, bins.big_valid,
+                bins.big_slots, bins.big_gauss, bins.big_valid, bins.gauss_rank,
                 bins.tile_start, bins.tile_count, cam, True, False, None,
                 None, chan_major)
             # identical scalar in both layouts (weights tied to channel id)
@@ -134,3 +134,44 @@ def test_pallas_chan_major_matches_row_major():
     scale = np.maximum(np.abs(np.asarray(g0)), 1e-3 * np.abs(g0).max())
     np.testing.assert_array_less(
         np.abs(np.asarray(g1) - np.asarray(g0)) / scale, 2e-3)
+
+
+def test_pair_cap_buffer_clamp():
+    """pair_cap as a STATIC buffer cap (binning round-3): a non-binding cap
+    must be bit-identical to worst-case sizing; a binding cap must set
+    `overflow`, keep every segment inside the usable region (so kernel
+    walk/spill DMAs stay in bounds) and still composite (dropped tail pairs
+    only)."""
+    from mm3dgs_slam_tpu.ops.pallas_composite import CHUNK, UNROLL
+
+    cam, g, rs, proj, bins_full = _setup(3)
+    bg = background(rs)
+    img_full = composite_tiles_pallas(proj, bins_full, cam, bg,
+                                      interpret=True)
+
+    # non-binding: generous cap below the worst-case size but above need
+    need = int(bins_full.tile_start[-1] + bins_full.tile_count[-1])
+    cap_ok = ((need + (4 + 2) * CHUNK) // CHUNK + 1) * CHUNK
+    bins_ok = build_bins(proj, cam, cap_ok, rs.max_tiles_per_gaussian,
+                         align=CHUNK)
+    assert bins_ok.pair_gauss.shape[0] <= cap_ok
+    assert not bool(bins_ok.overflow)
+    img_ok = composite_tiles_pallas(proj, bins_ok, cam, bg, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_ok), np.asarray(img_full),
+                               rtol=0, atol=0)
+
+    # binding: half the needed space -> overflow flagged, segments clamped
+    cap_tight = max((need // 2 // CHUNK) * CHUNK, 8 * CHUNK)
+    bins_t = build_bins(proj, cam, cap_tight, rs.max_tiles_per_gaussian,
+                        align=CHUNK)
+    assert bool(bins_t.overflow)
+    buf = int(bins_t.pair_gauss.shape[0])
+    usable = buf - 4 * CHUNK
+    starts = np.asarray(bins_t.tile_start)
+    counts = np.asarray(bins_t.tile_count)
+    assert (starts + counts <= usable).all()
+    # walk DMA high-water mark (trip-wide reads) stays inside the buffer
+    trips = -(-counts // (UNROLL * CHUNK))
+    assert (starts + trips * UNROLL * CHUNK <= buf).all()
+    img_t = composite_tiles_pallas(proj, bins_t, cam, bg, interpret=True)
+    assert np.isfinite(np.asarray(img_t)).all()
