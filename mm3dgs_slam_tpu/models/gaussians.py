@@ -39,14 +39,33 @@ class GaussianMap(NamedTuple):
     opacity: jnp.ndarray        # [CAP, 1] logit
     rgb: jnp.ndarray            # [CAP, 3] extra channel (saved to PLY, unused
                                 #          by the renderer, cf. SURVEY §2.2)
-    n_alive: jnp.ndarray        # [] int32
+    n_alive: jnp.ndarray        # [] int32 (single-chip: global alive prefix)
+                                # or [S] int32 (mesh path: PER-SHARD alive
+                                # prefix — shard s owns rows
+                                # [s*CAP/S, s*CAP/S + n_alive[s]); see
+                                # parallel/shard_local.py)
 
     @property
     def capacity(self) -> int:
         return self.xyz.shape[0]
 
     def alive_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.capacity) < self.n_alive
+        n = self.n_alive
+        if n.ndim == 0:
+            return jnp.arange(self.capacity) < n
+        # per-shard alive prefixes (shard-local prune/densify): row r is
+        # alive iff its SHARD-LOCAL index clears its shard's count. The
+        # [S] -> [CAP] expansion is a broadcast-reshape (static block), not
+        # a gather.
+        shards = n.shape[0]
+        block = self.capacity // shards
+        local = jnp.arange(self.capacity) - (
+            jnp.arange(self.capacity) // block) * block
+        return local < jnp.repeat(n, block, total_repeat_length=self.capacity)
+
+    def total_alive(self) -> jnp.ndarray:
+        """[] int32 live-row count, whichever n_alive layout is in play."""
+        return self.n_alive if self.n_alive.ndim == 0 else jnp.sum(self.n_alive)
 
     def activated(self) -> ActivatedGaussians:
         """Apply activations (gaussian_model.py:32-47)."""
@@ -319,9 +338,22 @@ def prune_mask_reference(
 
 
 def to_numpy_dict(m: GaussianMap) -> dict:
-    """Alive rows as numpy (host-side; for PLY export etc.)."""
-    n = int(m.n_alive)
-    return {f: np.asarray(getattr(m, f))[:n] for f in _PARAM_FIELDS}
+    """Alive rows as numpy (host-side; for PLY export etc.).
+
+    With a per-shard n_alive vector (mesh path) the live rows are the
+    concatenated shard prefixes, in shard order — the same SET of gaussians
+    as the single-chip compaction, in a shard-dependent order (rendering is
+    order-independent; the PLY schema carries no ordering contract)."""
+    counts = np.asarray(m.n_alive)
+    if counts.ndim == 0:
+        n = int(counts)
+        return {f: np.asarray(getattr(m, f))[:n] for f in _PARAM_FIELDS}
+    shards = counts.shape[0]
+    block = m.capacity // shards
+    sel = np.concatenate([
+        np.arange(s * block, s * block + int(counts[s])) for s in range(shards)
+    ]) if counts.sum() else np.zeros((0,), np.int64)
+    return {f: np.asarray(getattr(m, f))[sel] for f in _PARAM_FIELDS}
 
 
 def capture(m: GaussianMap, state: AdamState, path: str) -> None:

@@ -225,7 +225,7 @@ def _power_coefs(data, ox, oy):
 
 
 def _chunk_forward(data, basis, ox, oy, logT, done, triu,
-                   gradient_walk=False):
+                   gradient_walk=False, nc: int = NC):
     """Shared per-chunk forward math, transmittance in log2 space.
 
     `gradient_walk`: the FORWARD kernel always re-walks at HIGHEST (the
@@ -264,7 +264,7 @@ def _chunk_forward(data, basis, ox, oy, logT, done, triu,
     as all-zero (sentinel fill), so op = 0 kills `contribute` by itself.
     """
     op = data[5:6, :]
-    feat = data[6:6 + NC, :]
+    feat = data[6:6 + nc, :]
     coefs, xl, yl = _power_coefs(data, ox, oy)
     if gradient_walk:
         c_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
@@ -367,7 +367,7 @@ def _tile_origin(t, tiles_x):
 
 def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 acc_ref, tfin_ref, buf, sem, *, tiles_x: int, n_tiles: int,
-                chan_major: bool = False):
+                chan_major: bool = False, nc: int = NC):
     """Double-buffered walk (slots 0/1) + cross-program chunk-0 prefetch
     (parity slots 2/3): chunk ci+1's DMA is in flight while ci computes, and
     tile t+1's first chunk is in flight while tile t walks.
@@ -429,7 +429,7 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 # padding-lane semantics (op=0 kills every contribution)
                 data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
             w, logT, done, _, _, _, _, _, _, feat = _chunk_forward(
-                data, basis, ox, oy, logT, done, triu
+                data, basis, ox, oy, logT, done, triu, nc=nc
             )
             if _FWD_SPLIT == "v3":
                 wh = w.astype(jnp.bfloat16).astype(jnp.float32)
@@ -451,7 +451,7 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
     logT0 = jnp.zeros((PIX, 1), jnp.float32)
     done0 = jnp.zeros((PIX, 1), jnp.float32)
-    acc0 = jnp.zeros((PIX, NC), jnp.float32)
+    acc0 = jnp.zeros((PIX, nc), jnp.float32)
     ci_fin, logT_fin, _, acc = jax.lax.while_loop(
         cond, body, (0, logT0, done0, acc0)
     )
@@ -476,43 +476,46 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret", "n_local",
-                                              "chan_major"))
+                                              "chan_major", "nc"))
 def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
                           interpret: bool = False, tile_lo=None,
                           n_local: int | None = None,
-                          chan_major: bool = False):
+                          chan_major: bool = False, nc: int = NC):
     """`tile_lo`/`n_local`: optional tile WINDOW (global index of local tile
     0 + static local tile count) for tile-sharded compositing; defaults to
     the full camera grid. `chan_major`: emit acc as [n_tiles, NC, PIX] and
     tfin as [n_tiles, 1, PIX] (lane dim = pixels) for the tile-layout loss
-    path instead of [n_tiles, PIX, NC]/[n_tiles, PIX, 1]."""
+    path instead of [n_tiles, PIX, NC]/[n_tiles, PIX, 1]. `nc`: number of
+    composited feature channels (a PREFIX of the packed feature rows
+    [r, g, b, z, 1, z^2]) — tracking losses never read E[z^2] outside
+    splatam, so walking nc=5 drops that channel's accumulate work."""
     n_tiles = cam.n_tiles if n_local is None else n_local
     if tile_lo is None:
         tile_lo = jnp.zeros((1,), jnp.int32)
     else:
         tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x,
-                               n_tiles=n_tiles, chan_major=chan_major)
+                               n_tiles=n_tiles, chan_major=chan_major, nc=nc)
     if chan_major:
         out_specs = [
-            pl.BlockSpec((1, NC, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((n_tiles, NC, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, nc, PIX), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.float32),
         ]
     else:
         out_specs = [
-            pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, PIX, nc), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((n_tiles, PIX, NC), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, PIX, nc), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, PIX, 1), jnp.float32),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -541,7 +544,7 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 dacc_ref, dtfin_ref, acc_ref, tfin_ref, dpair_hbm, buf,
                 dpair_buf, sems, osems,
                 *, tiles_x: int, n_tiles: int, out_dtype=jnp.float32,
-                gradient_walk=False, chan_major: bool = False):
+                gradient_walk=False, chan_major: bool = False, nc: int = NC):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -624,7 +627,7 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
             (w, logT, done, alpha_raw, one_m, use, T_j, xl, yl,
              feat) = _chunk_forward(data, basis, ox, oy, logT, done, triu,
-                                    gradient_walk=gradient_walk)
+                                    gradient_walk=gradient_walk, nc=nc)
 
             # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
             dfeat = jax.lax.dot_general(
@@ -686,7 +689,7 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
             dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
             dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
 
-            zeros_pad = jnp.zeros((NF - 6 - NC, CHUNK), jnp.float32)
+            zeros_pad = jnp.zeros((NF - 6 - nc, CHUNK), jnp.float32)
             # emit FIELD-major [NF, W] — no in-VMEM transpose, no lane pad,
             # 8x less HBM write traffic than a 128-lane-padded row-major
             # slab; the consumer pays one barriered [NF, P] -> [P, NF] HBM
@@ -755,13 +758,13 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("cam", "interpret", "grad_bf16",
-                                    "n_local", "chan_major"))
+                                    "n_local", "chan_major", "nc"))
 def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
                                dacc, dtfin, cam: Camera,
                                interpret: bool = False,
                                grad_bf16: bool = False, tile_lo=None,
                                n_local: int | None = None,
-                               chan_major: bool = False):
+                               chan_major: bool = False, nc: int = NC):
     """Backward kernel: per-pair gradients FIELD-major [NF, padded_cap]
     (same layout as the pair input; bfloat16 rows when grad_bf16).
     `chan_major`: acc/tfin/dacc/dtfin are channel-major (see
@@ -779,14 +782,15 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
     kernel = functools.partial(_bwd_kernel, tiles_x=cam.tiles_x,
                                n_tiles=n_tiles, out_dtype=out_dtype,
                                gradient_walk=_PREC_MODE == "mixed"
-                               and not interpret, chan_major=chan_major)
+                               and not interpret, chan_major=chan_major,
+                               nc=nc)
     if chan_major:
-        spec_nc = pl.BlockSpec((1, NC, PIX), lambda t, *_: (t, 0, 0),
+        spec_nc = pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)
         spec_1 = pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        spec_nc = pl.BlockSpec((1, PIX, NC), lambda t, *_: (t, 0, 0),
+        spec_nc = pl.BlockSpec((1, PIX, nc), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)
         spec_1 = pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -907,11 +911,13 @@ def _table_reduce(dpair_fm, small_slots, big_slots, big_gauss, big_valid,
     return acc.at[big_gauss].add(big_sum)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 14, 15))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 14, 15, 16))
 def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
                       big_gauss, big_valid, gauss_rank, tile_start,
                       tile_count, cam, interpret, grad_bf16=False,
-                      tile_lo=None, n_local=None, chan_major=False):
+                      tile_lo=None, n_local=None, chan_major=False,
+                      nc=NC):
     """Fused pack + composite with the slot-table backward.
 
     One differentiable unit from per-gaussian packed rows to tile outputs:
@@ -920,31 +926,36 @@ def _composite_packed(packed, pair_gauss, pair_valid, small_slots, big_slots,
     (that transpose alone cost ~45 ms at 2.25M pairs). `tile_lo`/`n_local`
     select a tile window (tile-sharded compositing); the slot tables must
     come from the same-windowed build_bins. `chan_major`: channel-major
-    tile outputs (see _composite_pallas_fwd)."""
+    tile outputs (see _composite_pallas_fwd). `nc`: composited channel
+    count (see _composite_pallas_fwd); dpacked keeps its [N, 16] shape —
+    the un-walked feature columns simply get exact-zero gradients (the
+    loss does not read those channels)."""
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     return _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                 interpret, tile_lo, n_local, chan_major)
+                                 interpret, tile_lo, n_local, chan_major,
+                                 nc)
 
 
 def _cpk_fwd(packed, pair_gauss, pair_valid, small_slots, big_slots,
              big_gauss, big_valid, gauss_rank, tile_start, tile_count, cam,
              interpret, grad_bf16=False, tile_lo=None, n_local=None,
-             chan_major=False):
+             chan_major=False, nc=NC):
     pair_rows = pack_pairs(packed, pair_gauss, pair_valid)
     acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam,
-                                      interpret, tile_lo, n_local, chan_major)
+                                      interpret, tile_lo, n_local,
+                                      chan_major, nc)
     res = (pair_rows, acc, tfin, small_slots, big_slots, big_gauss,
            big_valid, gauss_rank, tile_start, tile_count, tile_lo)
     return (acc, tfin), res
 
 
-def _cpk_bwd(cam, interpret, grad_bf16, n_local, chan_major, res, cts):
+def _cpk_bwd(cam, interpret, grad_bf16, n_local, chan_major, nc, res, cts):
     (pair_rows, acc, tfin, small_slots, big_slots, big_gauss, big_valid,
      gauss_rank, tile_start, tile_count, tile_lo) = res
     dacc, dtfin = cts
     dpair_fm = _composite_pallas_bwd_rows(
         pair_rows, tile_start, tile_count, acc, tfin, dacc, dtfin, cam,
-        interpret, grad_bf16, tile_lo, n_local, chan_major,
+        interpret, grad_bf16, tile_lo, n_local, chan_major, nc,
     )
     dpacked = _table_reduce(dpair_fm, small_slots, big_slots, big_gauss,
                             big_valid, gauss_rank)

@@ -169,11 +169,12 @@ def render_tiles(
     camera_pose: jnp.ndarray,
     rs: RenderSettings,
     bins: TileBins,
+    nc: int = 6,
 ):
     """Tile-layout render fast path: the fused pack+composite WITHOUT the
-    [NC, H, W] image assembly. Returns out6 CHANNEL-major
-    [n_tiles, 6, TILE*TILE] (channels: rgb, z, sil, z^2), background
-    already applied.
+    [NC, H, W] image assembly. Returns out CHANNEL-major
+    [n_tiles, nc, TILE*TILE] (channel prefix of rgb, z, sil, z^2),
+    background already applied.
 
     Tracking's losses are elementwise + global masked reductions, so they
     evaluate identically in this layout (same pixel set via
@@ -181,16 +182,22 @@ def render_tiles(
     The kernel emits channel-major accumulators (pixels stay on the lane
     dim — an earlier [T, PIX, NC] variant lane-padded every loss op ~21x
     and measured net slower). Requires pallas bins built with slot tables
-    (align=CHUNK)."""
+    (align=CHUNK).
+
+    `nc=5` drops the E[z^2] channel from the walk — only splatam's
+    uncertainty mask reads it (slam/tracker.py:140-147). Measured
+    cost-neutral on v5e (the accumulate is MXU-pass-bound, not
+    column-bound; scripts/probe_r3b.py) — the slim walk is kept for
+    exactness of intent, not speed."""
     proj = project_for_pose(g, camera_pose, rs)
     from .pallas_composite import _composite_packed
 
-    bg = background(rs)
+    bg = background(rs)[:nc]
     acc, tfin = _composite_packed(
         proj.packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
         bins.big_slots, bins.big_gauss, bins.big_valid, bins.gauss_rank,
         bins.tile_start, bins.tile_count, rs.cam, False, rs.grad_bf16,
-        None, None, True,
+        None, None, True, nc,
     )
     return acc + tfin * bg[None, :, None]
 

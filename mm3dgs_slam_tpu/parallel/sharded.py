@@ -40,14 +40,24 @@ from ..ops.render import RenderSettings, background, project_for_pose
 
 
 def shard_map_state(m: GaussianMap, adam: AdamState, mesh: Mesh):
-    """Place map + optimizer leaves row-sharded on the mesh."""
+    """Place map + optimizer leaves row-sharded on the mesh.
+
+    `n_alive` becomes the PER-SHARD prefix-count vector [S] (replicated —
+    it is S scalars) so prune/densify can run shard-local with no
+    cross-shard row movement (parallel/shard_local.py). Converting at
+    placement time is a pure re-description: a scalar global prefix and
+    its per-shard split mark exactly the same rows alive."""
+    from .shard_local import shard_counts
+
     row = NamedSharding(mesh, P("gauss"))
     rep = NamedSharding(mesh, P())
+    n_shards = mesh.devices.size
+    counts = shard_counts(m.n_alive, n_shards, m.capacity)
 
     def place(g: GaussianMap) -> GaussianMap:
         return g._replace(
             **{f: jax.device_put(getattr(g, f), row) for f in _PARAM_FIELDS},
-            n_alive=jax.device_put(g.n_alive, rep),
+            n_alive=jax.device_put(counts, rep),
         )
 
     return (

@@ -309,7 +309,21 @@ def _map_prune_step(
         pmask = prune_mask_reference(
             c.m, camera_extent, ms.min_opacity, max_radii, ms.size_threshold
         )
-    m2, adam2, order = prune_compact(c.m, c.adam, ~pmask)
+    if ms.mesh is not None:
+        # shard-local compaction: each shard argsorts + gathers only its
+        # own block (parallel/shard_local.py) — the global stable argsort
+        # gathers every leaf across shards (measured 12.2x SPMD overhead,
+        # scripts/bench_sharded.py append_prune phase)
+        from ..parallel.shard_local import prune_compact_sharded
+
+        m2, adam2, (mr2, ga2, dn2, bam2) = prune_compact_sharded(
+            c.m, c.adam, ~pmask, ms.mesh,
+            extras=(max_radii, grad_accum, denom, c.ba_mask),
+        )
+    else:
+        m2, adam2, order = prune_compact(c.m, c.adam, ~pmask)
+        mr2, ga2, dn2, bam2 = (max_radii[order], grad_accum[order],
+                               denom[order], c.ba_mask[order])
 
     kf_poses, pose_m, pose_v, pose_step = (
         c.kf_poses, c.pose_m, c.pose_v, c.pose_step
@@ -318,9 +332,9 @@ def _map_prune_step(
         kf_poses, pose_m, pose_v, pose_step = _pose_adam(c, k, g_pose, ms)
 
     return MapCarry(
-        m=m2, adam=adam2, max_radii=max_radii[order],
-        grad_accum=grad_accum[order], denom=denom[order],
-        ba_mask=c.ba_mask[order], kf_poses=kf_poses, pose_m=pose_m,
+        m=m2, adam=adam2, max_radii=mr2,
+        grad_accum=ga2, denom=dn2,
+        ba_mask=bam2, kf_poses=kf_poses, pose_m=pose_m,
         pose_v=pose_v, pose_step=pose_step, last_loss=loss,
     )
 

@@ -319,7 +319,7 @@ class SLAM:
                     print(
                         f"frame {idx + 1}/{self.n_img}: "
                         f"{time.perf_counter() - t_frame:.2f}s, "
-                        f"{int(self.gaussians.n_alive)} gaussians",
+                        f"{int(self.gaussians.total_alive())} gaussians",
                         flush=True,
                     )
                 last_idx += 1

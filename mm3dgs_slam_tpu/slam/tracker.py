@@ -130,8 +130,18 @@ def tracking_loss_tiles(
     (L1, Pearson over masked pixels, pose prior), so it needs no [NC, H, W]
     image — skipping the assembly transpose and its backward saves
     ~1.4 ms/iter at 640x480. Same pixel set as the cropped image via
-    `valid`; values match tracking_loss up to fp summation order."""
-    out6 = render_tiles(g, pose, ts.rs, bins)
+    `valid`; values match tracking_loss up to fp summation order.
+
+    vigs/mm3dgs walks FIVE channels (rgb, z, sil): E[z^2] feeds only
+    splatam's uncertainty mask (reference tracker.py:110-126), so the
+    kernel skips its accumulate + gradient work entirely (the dropped
+    channel's gradient is exactly zero — the loss never reads it).
+    Measured a WASH on v5e (16.02 vs 16.01 ms/iter same-process A/B,
+    scripts/probe_r3b.py 2026-08-19): the accumulate dots pay per MXU
+    pass, not per output column, and NC never appears in a [PIX, CHUNK]
+    VPU op — kept because it is exact and free, not because it wins."""
+    nc = 6 if ts.method == "splatam" else 5
+    out6 = render_tiles(g, pose, ts.rs, bins, nc=nc)
     image = out6[:, :3]
     depth = out6[:, 3]
     silhouette = out6[:, 4]

@@ -151,12 +151,56 @@ def main():
         float(n)
         return (time.perf_counter() - t0) / REPS * 1e3
 
+    def bench_append_prune_shard_local(n_devices):
+        """Same prune-10% + append cycle through parallel/shard_local.py:
+        per-shard argsort/gather/scatter inside shard_map, zero collectives
+        beyond the tiny count vector. The overhead factor here vs the
+        global ops' is THE measurement that motivated the design (global
+        measured 12.2x on this mesh)."""
+        from mm3dgs_slam_tpu.parallel.shard_local import (
+            append_gaussians_sharded,
+            prune_compact_sharded,
+        )
+
+        m, cam = _build_scene(N_PER_DEV * n_devices, cam_hw=(120, 160))
+        adam = G.init_adam(m)
+        mesh = make_mesh(n_devices)
+        m, adam = shard_map_state(m, adam, mesh)
+        K = 4096
+        cand = G.NewGaussians(
+            xyz=jnp.ones((K, 3)), features_dc=jnp.ones((K, 1, 3)),
+            features_rest=jnp.zeros((K, m.features_rest.shape[1], 3)),
+            scaling=jnp.full((K, 3), -4.0), rotation=jnp.tile(
+                jnp.array([[1.0, 0, 0, 0]]), (K, 1)),
+            opacity=jnp.zeros((K, 1)), rgb=jnp.ones((K, 3)),
+            mask=jnp.ones((K,), bool),
+        )
+
+        @jax.jit
+        def cycle(m, adam, s):
+            keep = (jnp.arange(m.capacity) % 10 != 0) | (s < 0)
+            m, adam, _ = prune_compact_sharded(m, adam, keep, mesh)
+            m, adam, n, _ = append_gaussians_sharded(
+                m, adam, cand._replace(xyz=cand.xyz * s), mesh)
+            return m, adam, n
+
+        m2, adam2, n = cycle(m, adam, jnp.float32(1.0))  # compile
+        float(n)
+        t0 = time.perf_counter()
+        mm, aa = m, adam
+        for i in range(REPS):
+            mm, aa, n = cycle(mm, aa, jnp.float32(1.0 + 1e-4 * i))
+        float(n)
+        return (time.perf_counter() - t0) / REPS * 1e3
+
     t1 = bench(1)
     t8 = bench(N_DEV)
     ts1 = bench_tile_sharded(1)
     ts8 = bench_tile_sharded(N_DEV)
     ap1 = bench_append_prune(1)
     ap8 = bench_append_prune(N_DEV)
+    sl1 = bench_append_prune_shard_local(1)
+    sl8 = bench_append_prune_shard_local(N_DEV)
     # All 8 virtual devices share ONE core, so the 8x-gaussian run does 8x
     # the arithmetic on the same silicon — wall-clock weak scaling cannot
     # show here. The honest shape metric is the SPMD overhead factor
@@ -175,6 +219,10 @@ def main():
         "append_prune_mesh_1_ms": round(ap1, 2),
         "append_prune_mesh_8_ms": round(ap8, 2),
         "append_prune_spmd_overhead_factor": round(ap8 / (N_DEV * ap1), 3),
+        "append_prune_shard_local_mesh_1_ms": round(sl1, 2),
+        "append_prune_shard_local_mesh_8_ms": round(sl8, 2),
+        "append_prune_shard_local_overhead_factor": round(
+            sl8 / (N_DEV * sl1), 3),
         "note": "virtual CPU mesh on one core: program shape only; run on "
                 "a pod slice for real weak scaling",
     }))

@@ -43,14 +43,18 @@ def main():
             align=CHUNK, d1=d1, big_frac=rs.bin_big_frac,
             tight_cull=cull, d2_live=d2l)
 
-    for cull, d1, d2l in ((False, 8, 0), (True, 8, 0), (True, 4, 0),
-                          (True, 4, 8)):
-        b = jax.jit(lambda p: mkbins(p, cull, d1, d2l))(base)
-        chunks = int(jnp.sum(-(-b.tile_count // CHUNK)))
-        print(f"tight_cull={cull} d1={d1} d2_live={d2l}: "
-              f"pairs={int(b.n_pairs)} "
-              f"chunks={chunks} buf={b.pair_gauss.shape[0]} "
-              f"overflow={bool(b.overflow)}")
+    # The 4-config bins sweep costs 4 big remote compiles (~15 min EACH on
+    # a slow tunnel day — it killed a whole run on 2026-08-19); skip it
+    # unless explicitly requested.
+    if os.environ.get("MM3DGS_SEG_SWEEP", "0") == "1":
+        for cull, d1, d2l in ((False, 8, 0), (True, 8, 0), (True, 4, 0),
+                              (True, 4, 8)):
+            b = jax.jit(lambda p: mkbins(p, cull, d1, d2l))(base)
+            chunks = int(jnp.sum(-(-b.tile_count // CHUNK)))
+            print(f"tight_cull={cull} d1={d1} d2_live={d2l}: "
+                  f"pairs={int(b.n_pairs)} "
+                  f"chunks={chunks} buf={b.pair_gauss.shape[0]} "
+                  f"overflow={bool(b.overflow)}")
     d1_seg = int(os.environ.get("MM3DGS_SEG_D1", "4"))
     d2l_seg = int(os.environ.get("MM3DGS_SEG_D2L", "8"))
     rs = rs._replace(bin_d1=d1_seg, bin_d2_live=d2l_seg)
@@ -88,19 +92,21 @@ def main():
         med = sorted(times)[len(times) // 2]
         print(f"{tag}: {med:.2f} ms/iter (min {min(times):.2f})")
 
-    run("track seg bf16", True)
-    run("track seg f32 ", False)
-    # image-assembly loss path (the pre-round-3 default; tile layout is
-    # now the default after it measured 1.1 ms/iter faster on chan-major)
-    prev = os.environ.get("MM3DGS_TRACK_TILES")
-    os.environ["MM3DGS_TRACK_TILES"] = "0"
-    try:
-        run("track seg IMG ", False, rebin=N_ITERS + 1)
-    finally:
-        if prev is None:
-            del os.environ["MM3DGS_TRACK_TILES"]
-        else:
-            os.environ["MM3DGS_TRACK_TILES"] = prev
+    if os.environ.get("MM3DGS_SEG_ONLY") != "loops":
+        run("track seg bf16", True)
+        run("track seg f32 ", False)
+        # image-assembly loss path (the pre-round-3 default; tile layout is
+        # now the default after it measured 1.1 ms/iter faster on
+        # chan-major)
+        prev = os.environ.get("MM3DGS_TRACK_TILES")
+        os.environ["MM3DGS_TRACK_TILES"] = "0"
+        try:
+            run("track seg IMG ", False, rebin=N_ITERS + 1)
+        finally:
+            if prev is None:
+                del os.environ["MM3DGS_TRACK_TILES"]
+            else:
+                os.environ["MM3DGS_TRACK_TILES"] = prev
 
     if os.environ.get("MM3DGS_SEG_ONLY") == "track":
         return

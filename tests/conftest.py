@@ -16,3 +16,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def baseline_slam(tmp_path_factory):
+    """ONE mesh-1 SLAM run of the canonical small config, shared by every
+    slow test that needs the single-device reference (test_slam_end_to_end
+    and the 8-device parity test previously each re-ran it — ~15 min of
+    duplicate work per suite on this host). Returns the cfg used; artifacts
+    live under the session tmp dir."""
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
+    from tests.test_e2e import make_cfg
+
+    cfg = make_cfg(tmp_path_factory.mktemp("slam_baseline"))
+    SLAM(cfg).run()
+    return cfg

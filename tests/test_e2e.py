@@ -70,12 +70,8 @@ def make_cfg(tmp_path, **overrides):
 
 
 @pytest.mark.slow
-def test_slam_end_to_end(tmp_path):
-    from mm3dgs_slam_tpu.slam.slam import SLAM
-
-    cfg = make_cfg(tmp_path)
-    slam = SLAM(cfg)
-    slam.run()
+def test_slam_end_to_end(baseline_slam):
+    cfg = baseline_slam
 
     out = os.path.join(cfg["outputdir"], "results.npz")
     assert os.path.exists(out)

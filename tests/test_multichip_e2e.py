@@ -29,11 +29,14 @@ def run_slam(tmp_path, mesh_devices, sub):
 
 
 @pytest.mark.slow
-def test_sharded_slam_matches_single_device(tmp_path):
+def test_sharded_slam_matches_single_device(tmp_path, baseline_slam):
     import jax
 
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    r1 = run_slam(tmp_path, 1, "mesh1")
+    # mesh-1 reference = the session-shared baseline run (same make_cfg
+    # values; only outputdir differs, which the metrics don't see)
+    r1 = np.load(os.path.join(baseline_slam["outputdir"], "results.npz"),
+                 allow_pickle=True)
     r8 = run_slam(tmp_path, 8, "mesh8")
 
     ate1, ate8 = float(r1["ate_rmse"]), float(r8["ate_rmse"])

@@ -175,3 +175,41 @@ def test_pair_cap_buffer_clamp():
     assert (starts + trips * UNROLL * CHUNK <= buf).all()
     img_t = composite_tiles_pallas(proj, bins_t, cam, bg, interpret=True)
     assert np.isfinite(np.asarray(img_t)).all()
+
+
+def test_pallas_nc5_matches_nc6_prefix():
+    """The nc=5 tracking walk (E[z^2] channel dropped — only splatam's
+    uncertainty mask reads it, reference tracker.py:110-126) must match the
+    full 6-channel walk exactly on the channels it keeps, forward AND
+    backward, with an exact-zero gradient on the dropped z^2 column."""
+    from mm3dgs_slam_tpu.ops.pallas_composite import _composite_packed
+
+    cam, g, rs, proj, bins = _setup(7, n=150, n_dead=10)
+
+    def run(nc):
+        def loss(packed):
+            acc, tfin = _composite_packed(
+                packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
+                bins.big_slots, bins.big_gauss, bins.big_valid,
+                bins.gauss_rank, bins.tile_start, bins.tile_count, cam,
+                True, False, None, None, True, nc)
+            # scalar reads only the first 5 channels (rgb, z, sil) — the
+            # loss surface vigs tracking exposes
+            w = jnp.arange(1.0, 6.0)
+            return (jnp.sum(acc[:, :5] * w[None, :, None])
+                    + 2.0 * jnp.sum(tfin), (acc, tfin))
+
+        (val, (acc, tfin)), grad = jax.value_and_grad(
+            loss, has_aux=True)(proj.packed)
+        return val, acc, tfin, grad
+
+    v6, a6, t6, g6 = run(6)
+    v5, a5, t5, g5 = run(5)
+    np.testing.assert_allclose(np.asarray(a5), np.asarray(a6)[:, :5],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(t5), np.asarray(t6), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(v6), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g5), np.asarray(g6), rtol=0,
+                               atol=0)
+    # the dropped channel's packed column gets an exact-zero gradient
+    assert float(jnp.abs(g5[:, 11]).max()) == 0.0
