@@ -34,7 +34,17 @@ def kernel_grad_check():
     so a Mosaic lowering / grid-semantics change that corrupts the
     cross-program spill/rewrite invariant would otherwise ship silently —
     corruption shows as full-magnitude garbage in some gaussians' grads,
-    far outside the mixed-precision gradient walk's ~1% envelope."""
+    far outside the mixed-precision gradient walk's ~1% envelope.
+
+    Tolerances are calibrated to the gradient walk's documented error
+    shape (PROFILE.md pass 5: absolute error bounded by ~1% of the GLOBAL
+    gradient max, p50 ~7e-5): measured on v5e 2026-08-20
+    (scripts/probe_gradcheck.py) the envelope is abs max 0.48% of global
+    max and rel max 1.3% on entries above 10% of max; in `highest` mode
+    both collapse to ~1e-5. Per-entry RELATIVE error at small magnitudes
+    is the wrong metric under an absolute envelope (a 0.5%-of-max wiggle
+    on a 0.1%-of-max entry is 500% rel) — the original check asserted
+    exactly that and false-alarmed at 46%."""
     import jax
     import jax.numpy as jnp
 
@@ -71,11 +81,15 @@ def kernel_grad_check():
         "grad check scene has no odd-in-trip segments — does not exercise "
         "the write-back spill")
     scale = max(float(np.abs(g_xla).max()), 1e-6)
-    mask = np.abs(g_xla) > 1e-3 * scale
-    rel = np.abs(g_pl - g_xla)[mask] / np.abs(g_xla)[mask]
-    assert rel.max() < 0.05, (
-        f"pallas bwd grads diverge from XLA by {rel.max():.3f} rel — "
-        "spill/rewrite invariant broken?")
+    err = np.abs(g_pl - g_xla)
+    assert err.max() < 0.02 * scale, (
+        f"pallas bwd abs grad error {err.max() / scale:.2%} of global max "
+        "(mixed-walk envelope is ~0.5%) — spill/rewrite invariant broken?")
+    mask = np.abs(g_xla) > 0.1 * scale
+    rel = err[mask] / np.abs(g_xla)[mask]
+    assert rel.max() < 0.03, (
+        f"pallas bwd rel grad error {rel.max():.3f} on large entries "
+        "(mixed-walk envelope is ~1.3%) — spill/rewrite invariant broken?")
 
 
 def main():
