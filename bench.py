@@ -91,6 +91,43 @@ def kernel_grad_check():
         f"pallas bwd rel grad error {rel.max():.3f} on large entries "
         "(mixed-walk envelope is ~1.3%) — spill/rewrite invariant broken?")
 
+    # Fused pose-gradient kernel (the tracking backward,
+    # ops/pallas_composite._bwd_pose_kernel): the COMPILED dq/dT must match
+    # autodiff through the XLA compositor. CPU tests cover interpret mode
+    # only; on v5e the measured 20-step converged-pose drift vs the general
+    # backward is ~1e-5 (scripts/probe_pose_kernel.py), so a 2%-of-max
+    # envelope catches lowering corruption with huge margin.
+    from mm3dgs_slam_tpu.ops.binning import build_bins
+    from mm3dgs_slam_tpu.ops.render import (project_for_pose,
+                                            render_tiles_pose, tile_pixel_valid,
+                                            to_tiles)
+
+    bins_p = jax.jit(lambda p: build_bins(
+        project_for_pose(g, p, rs_pl), cam, rs_pl.pair_cap,
+        rs_pl.max_tiles_per_gaussian, align=CHUNK, d1=rs_pl.bin_d1,
+        big_frac=rs_pl.bin_big_frac, d2_live=rs_pl.bin_d2_live))(pose)
+    valid = tile_pixel_valid(cam)
+
+    def loss_fused(q, T):
+        out = render_tiles_pose(g, q, T, rs_pl, bins_p, nc=6)
+        return jnp.sum(jnp.abs(out) * valid[:, None, :])
+
+    def loss_general(q, T):
+        out = render(g, jnp.concatenate([q, T]), rs_xla)
+        img6 = jnp.concatenate([out["render"], out["depth"]], axis=0)
+        return jnp.sum(jnp.abs(to_tiles(img6, cam)) * valid[:, None, :])
+
+    gq_f, gt_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(
+        pose[:4], pose[4:])
+    gq_g, gt_g = jax.jit(jax.grad(loss_general, argnums=(0, 1)))(
+        pose[:4], pose[4:])
+    for a, b, name in ((gq_f, gq_g, "dq"), (gt_f, gt_g, "dT")):
+        a, b = np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+        s = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() < 0.02 * s, (
+            f"fused pose kernel {name} error "
+            f"{np.abs(a - b).max() / s:.2%} of max — lowering broken?")
+
 
 def main():
     import jax

@@ -77,6 +77,12 @@ _DEFAULTS: dict[str, Any] = {
         "track_tiles": True,           # MM3DGS_TRACK_TILES: tile-layout
                                        # tracking loss (1.1 ms/iter faster
                                        # than image assembly on v5e)
+        "pose_kernel": True,           # MM3DGS_POSE_KERNEL: fused in-kernel
+                                       # pose gradients for tracking (no
+                                       # per-pair emission / slot-table
+                                       # reduce); auto-gated to
+                                       # transform_means_python + sh_degree
+                                       # 0 + single-device pallas tracking
     },
 }
 
@@ -95,6 +101,7 @@ _TPU_ENV_KNOBS: dict[str, tuple[str, Any, tuple[str, str] | None]] = {
                       ("mm3dgs_slam_tpu.ops.pallas_composite", "EARLY_EXIT")),
     # read at trace time, not import time — no module constant to check
     "track_tiles": ("MM3DGS_TRACK_TILES", lambda b: "1" if b else "0", None),
+    "pose_kernel": ("MM3DGS_POSE_KERNEL", lambda b: "1" if b else "0", None),
 }
 
 

@@ -367,7 +367,7 @@ def _tile_origin(t, tiles_x):
 
 def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
                 acc_ref, tfin_ref, buf, sem, *, tiles_x: int, n_tiles: int,
-                chan_major: bool = False, nc: int = NC):
+                chan_major: bool = False, nc: int = NC, nf_in: int = NF):
     """Double-buffered walk (slots 0/1) + cross-program chunk-0 prefetch
     (parity slots 2/3): chunk ci+1's DMA is in flight while ci computes, and
     tile t+1's first chunk is in flight while tile t walks.
@@ -386,9 +386,12 @@ def _fwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
     def dma(off_pairs, slot):
         off = pl.multiple_of(off_pairs, CHUNK)
-        return pltpu.make_async_copy(
-            pair_hbm.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot]
-        )
+        # The pose-gradient path packs Jacobian extension rows below the
+        # standard NF fields ([nf_in, P] with nf_in > NF); the forward walk
+        # only reads the standard rows, so DMA just that slab.
+        src = (pair_hbm.at[:, pl.ds(off, W)] if nf_in == NF
+               else pair_hbm.at[pl.ds(0, NF), pl.ds(off, W)])
+        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
 
     pf = 2 + jax.lax.rem(t, 2)
 
@@ -495,7 +498,8 @@ def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
     else:
         tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     kernel = functools.partial(_fwd_kernel, tiles_x=cam.tiles_x,
-                               n_tiles=n_tiles, chan_major=chan_major, nc=nc)
+                               n_tiles=n_tiles, chan_major=chan_major, nc=nc,
+                               nf_in=pair_rows.shape[0])
     if chan_major:
         out_specs = [
             pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
@@ -538,6 +542,85 @@ def _composite_pallas_fwd(pair_rows, tile_start, tile_count, cam: Camera,
         interpret=interpret,
     )(tile_lo, tile_start, tile_count, pair_rows)
     return acc, tfin
+
+
+def _chunk_gradient(data, basis, ox, oy, logT, done, triu, A_pref,
+                    dC, CdC, dT_fin, T_fin, gradient_walk, nc):
+    """Per-chunk analytic gradient core, shared by the per-pair backward
+    (_bwd_kernel, which emits the field gradients to HBM for the slot-table
+    reduce) and the fused pose backward (_bwd_pose_kernel, which contracts
+    them against packed pose Jacobians in-register).
+
+    Replays the chunk forward and returns
+    (logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, data_out)
+    — gradients of the loss w.r.t. the packed pair fields (screen xy,
+    conic, opacity, features)."""
+    (w, logT, done, alpha_raw, one_m, use, T_j, xl, yl,
+     feat) = _chunk_forward(data, basis, ox, oy, logT, done, triu,
+                            gradient_walk=gradient_walk, nc=nc)
+
+    # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
+    dfeat = jax.lax.dot_general(
+        dC, w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_GPREC,
+    )
+    # (feat_j . dC_p) -> [PIX, CHUNK]; gradient-path (feeds dalpha)
+    fdc = jax.lax.dot_general(
+        dC, feat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_GPREC,
+    )
+    r = w * fdc
+    # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
+    r_incl = _incl_cumsum(r, triu, prec=_GPREC)
+    suffix = CdC - A_pref - r_incl       # (C - A_{<=j}) . dC
+
+    # one_m is don't-care outside `use` (dalpha is masked right
+    # after), so the chunk-forward's 1 - alpha is reused as-is, and
+    # under the gradient walk the full-precision divide drops to the
+    # VPU's approximate reciprocal (~1e-4 rel — gradient budget).
+    if gradient_walk:
+        inv_onem = pl.reciprocal(one_m, approx=True)
+    else:
+        inv_onem = 1.0 / one_m
+    dalpha = T_j * fdc - (suffix + dT_fin * T_fin) * inv_onem
+    dalpha = jnp.where(use, dalpha, 0.0)
+
+    op = data[5:6, :]
+    dpower = alpha_raw * dalpha
+    # All six per-pair reductions over PIX collapse into ONE MXU
+    # matmul against the quadratic pixel basis: with
+    # S = basis^T @ dpower the moment rows are
+    # [S1, Sx, Sy, Sxx, Sxy, Syy] and every gradient of the EWA
+    # exponent is [1, CHUNK] row algebra in those moments
+    # (dx = xl - px, so e.g. sum dx*dpower = xl*S1 - Sx). dop is
+    # free: G*dalpha = (alpha_raw/op)*dalpha = dpower/op.
+    S = jax.lax.dot_general(
+        basis, dpower, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_GPREC,
+    )  # [8, CHUNK]
+    S1 = S[0:1, :]
+    Sx = S[1:2, :]
+    Sy = S[2:3, :]
+    Sxx = S[3:4, :]
+    Sxy = S[4:5, :]
+    Syy = S[5:6, :]
+    dop = jnp.where(op > 0, S1 / jnp.where(op > 0, op, 1.0), 0.0)
+    c0 = data[2:3, :]
+    c1 = data[3:4, :]
+    c2 = data[4:5, :]
+    mx = xl * S1 - Sx            # sum dx * dpower
+    my = yl * S1 - Sy            # sum dy * dpower
+    dxy_x = -(c0 * mx + c1 * my)
+    dxy_y = -(c2 * my + c1 * mx)
+    dc0 = -0.5 * (xl * xl * S1 - 2.0 * xl * Sx + Sxx)
+    dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
+    dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
+
+    A_pref = A_pref + r_incl[:, CHUNK - 1:CHUNK]
+    return logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat
 
 
 def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
@@ -625,69 +708,10 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
             data = data_full[:, u * CHUNK:(u + 1) * CHUNK]
             if u:
                 data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
-            (w, logT, done, alpha_raw, one_m, use, T_j, xl, yl,
-             feat) = _chunk_forward(data, basis, ox, oy, logT, done, triu,
-                                    gradient_walk=gradient_walk, nc=nc)
-
-            # d feat[c, j] = sum_p dC(p, c) w(p, j)  -> [NC, CHUNK]
-            dfeat = jax.lax.dot_general(
-                dC, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_GPREC,
-            )
-            # (feat_j . dC_p) -> [PIX, CHUNK]; gradient-path (feeds dalpha)
-            fdc = jax.lax.dot_general(
-                dC, feat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_GPREC,
-            )
-            r = w * fdc
-            # inclusive lane cumsum via triangular MXU matmuls (no add-scan)
-            r_incl = _incl_cumsum(r, triu, prec=_GPREC)
-            suffix = CdC - A_pref - r_incl       # (C - A_{<=j}) . dC
-
-            # one_m is don't-care outside `use` (dalpha is masked right
-            # after), so the chunk-forward's 1 - alpha is reused as-is, and
-            # under the gradient walk the full-precision divide drops to the
-            # VPU's approximate reciprocal (~1e-4 rel — gradient budget).
-            if gradient_walk:
-                inv_onem = pl.reciprocal(one_m, approx=True)
-            else:
-                inv_onem = 1.0 / one_m
-            dalpha = T_j * fdc - (suffix + dT_fin * T_fin) * inv_onem
-            dalpha = jnp.where(use, dalpha, 0.0)
-
-            op = data[5:6, :]
-            dpower = alpha_raw * dalpha
-            # All six per-pair reductions over PIX collapse into ONE MXU
-            # matmul against the quadratic pixel basis: with
-            # S = basis^T @ dpower the moment rows are
-            # [S1, Sx, Sy, Sxx, Sxy, Syy] and every gradient of the EWA
-            # exponent is [1, CHUNK] row algebra in those moments
-            # (dx = xl - px, so e.g. sum dx*dpower = xl*S1 - Sx). dop is
-            # free: G*dalpha = (alpha_raw/op)*dalpha = dpower/op.
-            S = jax.lax.dot_general(
-                basis, dpower, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_GPREC,
-            )  # [8, CHUNK]
-            S1 = S[0:1, :]
-            Sx = S[1:2, :]
-            Sy = S[2:3, :]
-            Sxx = S[3:4, :]
-            Sxy = S[4:5, :]
-            Syy = S[5:6, :]
-            dop = jnp.where(op > 0, S1 / jnp.where(op > 0, op, 1.0), 0.0)
-            c0 = data[2:3, :]
-            c1 = data[3:4, :]
-            c2 = data[4:5, :]
-            mx = xl * S1 - Sx            # sum dx * dpower
-            my = yl * S1 - Sy            # sum dy * dpower
-            dxy_x = -(c0 * mx + c1 * my)
-            dxy_y = -(c2 * my + c1 * mx)
-            dc0 = -0.5 * (xl * xl * S1 - 2.0 * xl * Sx + Sxx)
-            dc1 = -(xl * yl * S1 - xl * Sy - yl * Sx + Sxy)
-            dc2 = -0.5 * (yl * yl * S1 - 2.0 * yl * Sy + Syy)
+            (logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, dop,
+             dfeat) = _chunk_gradient(data, basis, ox, oy, logT, done, triu,
+                                      A_pref, dC, CdC, dT_fin, T_fin,
+                                      gradient_walk, nc)
 
             zeros_pad = jnp.zeros((NF - 6 - nc, CHUNK), jnp.float32)
             # emit FIELD-major [NF, W] — no in-VMEM transpose, no lane pad,
@@ -701,7 +725,6 @@ def _bwd_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
             dpair_buf[slot, :, u * CHUNK:(u + 1) * CHUNK] = jnp.concatenate(
                 [dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, zeros_pad], axis=0
             ).astype(out_dtype)
-            A_pref = A_pref + r_incl[:, CHUNK - 1:CHUNK]
 
         dma_out(ci, slot, slot).start()
         return ci + 1, logT, done, A_pref
@@ -827,6 +850,212 @@ def _composite_pallas_bwd_rows(pair_rows, tile_start, tile_count, acc, tfin,
     # which the fill-mode gather zeroes). Callers that expose dpair as a
     # plain cotangent must mask (see composite_pairs_pallas).
     return dpair_fm
+
+
+NF_POSE = 2 * NF  # standard fields + [9 conic-Jacobian | 3 world-mean | 4 pad]
+
+
+def _bwd_pose_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
+                     dacc_ref, dtfin_ref, acc_ref, tfin_ref, psum_ref, buf,
+                     sems, *, tiles_x: int, n_tiles: int,
+                     gradient_walk=False, chan_major: bool = True,
+                     nc: int = NC, fx: float = 1.0, fy: float = 1.0,
+                     bx: float = 0.0, by: float = 0.0):
+    """Fused pose-gradient backward: TRACKING only optimizes the 7-DoF
+    camera pose, so emitting per-pair field gradients to HBM and reducing
+    them per-gaussian (the slot-table reduce, ~6-7 ms/iter at the bench
+    scene) computes 16 numbers per gaussian to consume 7 per FRAME. This
+    kernel instead contracts the per-pair field gradients against packed
+    per-gaussian pose Jacobians IN-REGISTER and accumulates the 12 numbers
+    the pose gradient actually needs:
+
+        rows 0:3   sum over pairs of d(mean_cam)            (-> dT)
+        rows 3:12  sum over pairs of d(mean_cam) (x) mean_w (-> dL/dR,
+                   contracted with the shared dR/dq outside)
+
+    per tile ([n_tiles, 16, CHUNK] output; the cross-tile + cross-lane sum
+    and the q-chain happen in XLA). No dpair HBM writes, no transpose, no
+    slot-table gather — the whole per-pair->per-gaussian->pose pipeline
+    collapses into ~40 extra [1, CHUNK] VPU ops per chunk. This is the
+    TPU shape of what the reference's CUDA rasterizer-w-pose fork does by
+    accumulating viewmatrix gradients inside its backward kernel
+    (slam/renderer.py:196-214's backward).
+
+    In the transform_means_python mode (the shipped configs) every
+    pose-dependent packed field is a function of mean_cam alone:
+    screen xy (via the projection matrix), conic (via the EWA Jacobian),
+    and the z / z^2 feature channels; rgb/sil/opacity are pose-constant
+    (sh_degree 0). d(xy)/d(mean_cam) is reconstructed in-kernel from the
+    packed xy/z fields and the static intrinsics (fx, fy, bx=cx-0.5,
+    by=cy-0.5); d(conic)/d(mean_cam) rides packed Jacobian rows 16:25
+    (ops/projection.conic_pose_jacobian_rows), world means rows 25:28.
+    """
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    ox, oy = _tile_origin(t + tile_lo_ref[0], tiles_x)
+    triu = _triu_ones()
+    basis = _pix_basis()
+
+    if chan_major:
+        dC = dacc_ref[0].T      # [PIX, NC]
+        dT_fin = dtfin_ref[0].T  # [PIX, 1]
+        C_tot = acc_ref[0].T
+        T_fin = tfin_ref[0].T
+    else:
+        dC = dacc_ref[0]
+        dT_fin = dtfin_ref[0]
+        C_tot = acc_ref[0]
+        T_fin = tfin_ref[0]
+    CdC = jnp.sum(C_tot * dC, axis=1, keepdims=True)  # [PIX, 1]
+
+    n_chunks = pl.cdiv(count, CHUNK)
+    n_steps = pl.cdiv(count, W)
+
+    def dma_in(off_pairs, slot):
+        off = pl.multiple_of(off_pairs, CHUNK)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, W)], buf.at[slot], sems.at[slot]
+        )
+
+    pf = 2 + jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(start, pf).start()
+
+    dma_in(start, pf).wait()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        dma_in(tile_start_ref[t + 1], 2 + jax.lax.rem(t + 1, 2)).start()
+
+    def cond(carry):
+        ci = carry[0]
+        if not EARLY_EXIT:
+            return ci < n_steps
+        return (ci < n_steps) & (jnp.min(carry[2]) < 1.0)
+
+    def body(carry):
+        ci, logT, done, A_pref, pacc = carry
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_steps)
+        def _():
+            dma_in(start + (ci + 1) * W, 1 - slot).start()
+
+        @pl.when(ci > 0)
+        def _():
+            dma_in(start + ci * W, slot).wait()
+
+        data_full = buf[jnp.where(ci == 0, pf, slot)]
+        for u in range(UNROLL):
+            data = data_full[:, u * CHUNK:(u + 1) * CHUNK]
+            if u:
+                data = jnp.where(ci * UNROLL + u < n_chunks, data, 0.0)
+            (logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, _dop,
+             dfeat) = _chunk_gradient(data, basis, ox, oy, logT, done, triu,
+                                      A_pref, dC, CdC, dT_fin, T_fin,
+                                      gradient_walk, nc)
+
+            # d(xy)/d(mean_cam) from packed fields + static intrinsics:
+            # px = fx*x/z + cx - 0.5 (half-pixel ndc2Pix convention), so
+            # dpx/dx = fx/z, dpx/dz = (bx - px)/z with bx = cx - 0.5
+            # (exactly the general path's autodiff through
+            # projection.py's ndc2Pix, re-associated).
+            z = data[9:10, :]
+            p_w = 1.0 / (z + 1e-7)
+            if nc == 6:
+                dz_eff = dfeat[3:4, :] + (2.0 * z) * dfeat[5:6, :]
+            else:
+                dz_eff = dfeat[3:4, :]
+            jc = data[NF:NF + 9, :]      # d conic_i / d mcam_k at [3i + k]
+            gx = dxy_x * (fx * p_w)
+            gy = dxy_y * (fy * p_w)
+            dm_x = gx + dc0 * jc[0:1] + dc1 * jc[3:4] + dc2 * jc[6:7]
+            dm_y = gy + dc0 * jc[1:2] + dc1 * jc[4:5] + dc2 * jc[7:8]
+            dm_z = (dxy_x * (p_w * (bx - data[0:1, :]))
+                    + dxy_y * (p_w * (by - data[1:2, :]))
+                    + dc0 * jc[2:3] + dc1 * jc[5:6] + dc2 * jc[8:9]
+                    + dz_eff)
+            mw = data[NF + 9:NF + 12, :]
+            pacc = pacc + jnp.concatenate(
+                [dm_x, dm_y, dm_z,
+                 dm_x * mw[0:1], dm_x * mw[1:2], dm_x * mw[2:3],
+                 dm_y * mw[0:1], dm_y * mw[1:2], dm_y * mw[2:3],
+                 dm_z * mw[0:1], dm_z * mw[1:2], dm_z * mw[2:3],
+                 jnp.zeros((4, CHUNK), jnp.float32)], axis=0)
+
+        return ci + 1, logT, done, A_pref, pacc
+
+    logT0 = jnp.zeros((PIX, 1), jnp.float32)
+    done0 = jnp.zeros((PIX, 1), jnp.float32)
+    A0 = jnp.zeros((PIX, 1), jnp.float32)
+    pacc0 = jnp.zeros((16, CHUNK), jnp.float32)
+    ci_fin, _, _, _, pacc = jax.lax.while_loop(
+        cond, body, (0, logT0, done0, A0, pacc0)
+    )
+
+    # drain the prefetched-but-unconsumed input DMA after an early exit
+    # (gradients past the saturation stop are exactly zero — nothing to add)
+    @pl.when((ci_fin < n_steps) & (ci_fin > 0))
+    def _():
+        dma_in(start + ci_fin * W, jax.lax.rem(ci_fin, 2)).wait()
+
+    psum_ref[0, :, :] = pacc
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "interpret",
+                                              "chan_major", "nc"))
+def _composite_pose_bwd(pair_rows, tile_start, tile_count, acc, tfin,
+                        dacc, dtfin, cam: Camera, interpret: bool = False,
+                        chan_major: bool = True, nc: int = NC):
+    """Fused pose backward: [NF_POSE, P] Jacobian-extended pair rows ->
+    per-tile pose-gradient partials [n_tiles, 16, CHUNK] (see
+    _bwd_pose_kernel for the row layout)."""
+    n_tiles = cam.n_tiles
+    tile_lo = jnp.zeros((1,), jnp.int32)
+    kernel = functools.partial(
+        _bwd_pose_kernel, tiles_x=cam.tiles_x, n_tiles=n_tiles,
+        gradient_walk=_PREC_MODE == "mixed" and not interpret,
+        chan_major=chan_major, nc=nc,
+        fx=cam.fx, fy=cam.fy, bx=cam.cx - 0.5, by=cam.cy - 0.5)
+    if chan_major:
+        spec_nc = pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        spec_nc = pl.BlockSpec((1, PIX, nc), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_1 = pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pair rows
+            spec_nc,                                           # dacc
+            spec_1,                                            # dtfin
+            spec_nc,                                           # acc
+            spec_1,                                            # tfin
+        ],
+        out_specs=pl.BlockSpec((1, 16, CHUNK), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, NF_POSE, W), jnp.float32),  # 0/1 walk, 2/3 pf
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_lo, tile_start, tile_count, pair_rows, dacc, dtfin, acc, tfin)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .camera import Camera, projection_matrix
@@ -100,58 +101,23 @@ def _cov3d_components(scales: jnp.ndarray, rotations: jnp.ndarray):
     return entry(0, 0), entry(0, 1), entry(0, 2), entry(1, 1), entry(1, 2), entry(2, 2)
 
 
-def project_gaussians(
-    means3d: jnp.ndarray,
-    scales: jnp.ndarray,
-    rotations: jnp.ndarray,
-    opacities: jnp.ndarray,
-    shs: jnp.ndarray,
-    alive: jnp.ndarray,
-    w2c: jnp.ndarray,
-    cam: Camera,
-    sh_degree: int = 0,
-    campos: jnp.ndarray | None = None,
-) -> ProjectedGaussians:
-    """Project all map slots to screen space.
+def _conic_soa(t_x, t_y, tz, cov3d, R, cam: Camera):
+    """Camera-frame centers + cov3D upper triangle -> EWA conic rows.
 
-    Args:
-      means3d: [N, 3] Gaussian centers (world frame, or camera frame if w2c=I
-               in the transform-means-upstream mode, cf. renderer.py:142-153).
-      scales: [N, 3] post-exp scales.
-      rotations: [N, 4] post-normalize wxyz quaternions.
-      opacities: [N] post-sigmoid opacity.
-      shs: [N, K, 3] SH coefficients (K = (deg+1)^2), DC first.
-      alive: [N] bool mask of live map slots.
-      w2c: 4x4 world-to-camera.
-      cam: camera intrinsics (static).
-      sh_degree: active SH degree (static).
-      campos: [3] camera position in the means' frame for SH view directions
-              (defaults to the camera center derived from w2c).
+    The exact 2D-covariance pipeline of the CUDA rasterizer (frustum clamp
+    at 1.3*tanfov, +0.3 low-pass, conic = inverse 2D covariance) in SoA
+    form. Factored out of project_gaussians so the fused pose-gradient
+    path can differentiate conic w.r.t. the camera-frame center with
+    jax.jvp against the SAME code (any drift between the two would
+    silently split the fused and general gradients).
+
+    Args: t_x/t_y/tz [N] camera-frame centers, cov3d = 6-tuple of [N]
+    cov3D components, R = 9 w2c rotation scalars (row-major), cam static.
+    Returns (conic_a, conic_b, conic_c, det_ok, radius_f, in_front).
     """
-    # SoA throughout: every intermediate is a flat [N] vector. [N,3]/[N,3,3]
-    # intermediates physically tile as (8,128) with the trailing dim padded
-    # to 128 on TPU — a silent ~40x memory bloat — and batched 3x3 matmuls
-    # never reach the MXU, so explicit component algebra wins on both counts.
-    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
-    R = [w2c[i, j] for i in range(3) for j in range(3)]  # row-major scalars
-    t_w2c = w2c[:3, 3]
-
-    # Camera-frame centers.
-    t_x = mx * R[0] + my * R[1] + mz * R[2] + t_w2c[0]
-    t_y = mx * R[3] + my * R[4] + mz * R[5] + t_w2c[1]
-    tz = mx * R[6] + my * R[7] + mz * R[8] + t_w2c[2]
+    s00, s01, s02, s11, s12, s22 = cov3d
     in_front = tz > 0.2  # CUDA in_frustum cull
 
-    # Pixel-space center via the OpenGL projection matrix (renderer.py:121-123).
-    P = projection_matrix(cam).astype(means3d.dtype)
-    ph_x = t_x * P[0, 0] + t_y * P[0, 1] + tz * P[0, 2] + P[0, 3]
-    ph_y = t_x * P[1, 0] + t_y * P[1, 1] + tz * P[1, 2] + P[1, 3]
-    p_w = 1.0 / (tz + 1e-7)  # P row 3 = [0,0,1,0] -> hom w = z
-    px = ((ph_x * p_w + 1.0) * cam.width - 1.0) * 0.5   # ndc2Pix
-    py = ((ph_y * p_w + 1.0) * cam.height - 1.0) * 0.5
-
-    # EWA: J W Sigma W^T J^T with the frustum clamp on tx/ty.
-    s00, s01, s02, s11, s12, s22 = _cov3d_components(scales, rotations)
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
     tz_safe = jnp.where(in_front, tz, 1.0)
@@ -195,6 +161,110 @@ def project_gaussians(
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam))
 
+    return (c11 * inv_det, -c01 * inv_det, c00 * inv_det,
+            det_ok, radius_f, in_front)
+
+
+def conic_pose_jacobian_rows(
+    means_cam: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    means_world: jnp.ndarray,
+    cam: Camera,
+) -> jnp.ndarray:
+    """Per-gaussian pose-Jacobian extension rows [N, 16] for the fused
+    pose-gradient kernel (ops/pallas_composite._bwd_pose_kernel).
+
+    Layout: rows 0..8 = d(conic_a, conic_b, conic_c)/d(mcam_x, y, z)
+    flattened conic-major (jc[3*i + k] = d conic_i / d mcam_k), rows
+    9..11 = the WORLD-frame mean, rows 12..15 pad. Only valid in the
+    transform_means_python mode (w2c = I inside projection,
+    renderer.py:142-153): the kernel contracts per-pair conic/xy/z
+    gradients against these rows into d(mean_cam), then into the
+    per-tile [sum dmcam | sum dmcam (x) mw] accumulators.
+
+    The Jacobian is three jax.jvp passes through the SAME _conic_soa code
+    project_gaussians runs (clips/culls included), so the fused gradient
+    matches the general autodiff path's chain exactly. All SoA [N]
+    component math — ~free next to the compositor walk.
+    """
+    cov3d = _cov3d_components(scales, rotations)
+    eye = [jnp.eye(4, dtype=means_cam.dtype)[i, j]
+           for i in range(3) for j in range(3)]
+
+    def conic_of(mcam):
+        a, b, c, _, _, _ = _conic_soa(
+            mcam[:, 0], mcam[:, 1], mcam[:, 2], cov3d, eye, cam)
+        return jnp.stack([a, b, c], axis=-1)  # [N, 3]
+
+    n = means_cam.shape[0]
+    cols = []
+    for k in range(3):
+        tangent = jnp.zeros_like(means_cam).at[:, k].set(1.0)
+        _, jc_k = jax.jvp(conic_of, (means_cam,), (tangent,))
+        cols.append(jc_k)  # [N, 3] = d conic / d mcam_k
+    # conic-major: jc[:, 3*i + k] = d conic_i / d mcam_k
+    jc = jnp.stack(
+        [cols[k][:, i] for i in range(3) for k in range(3)], axis=-1)
+    pad = jnp.zeros((n, 4), means_cam.dtype)
+    return jnp.concatenate([jc, means_world, pad], axis=-1)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    alive: jnp.ndarray,
+    w2c: jnp.ndarray,
+    cam: Camera,
+    sh_degree: int = 0,
+    campos: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Project all map slots to screen space.
+
+    Args:
+      means3d: [N, 3] Gaussian centers (world frame, or camera frame if w2c=I
+               in the transform-means-upstream mode, cf. renderer.py:142-153).
+      scales: [N, 3] post-exp scales.
+      rotations: [N, 4] post-normalize wxyz quaternions.
+      opacities: [N] post-sigmoid opacity.
+      shs: [N, K, 3] SH coefficients (K = (deg+1)^2), DC first.
+      alive: [N] bool mask of live map slots.
+      w2c: 4x4 world-to-camera.
+      cam: camera intrinsics (static).
+      sh_degree: active SH degree (static).
+      campos: [3] camera position in the means' frame for SH view directions
+              (defaults to the camera center derived from w2c).
+    """
+    # SoA throughout: every intermediate is a flat [N] vector. [N,3]/[N,3,3]
+    # intermediates physically tile as (8,128) with the trailing dim padded
+    # to 128 on TPU — a silent ~40x memory bloat — and batched 3x3 matmuls
+    # never reach the MXU, so explicit component algebra wins on both counts.
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    R = [w2c[i, j] for i in range(3) for j in range(3)]  # row-major scalars
+    t_w2c = w2c[:3, 3]
+
+    # Camera-frame centers.
+    t_x = mx * R[0] + my * R[1] + mz * R[2] + t_w2c[0]
+    t_y = mx * R[3] + my * R[4] + mz * R[5] + t_w2c[1]
+    tz = mx * R[6] + my * R[7] + mz * R[8] + t_w2c[2]
+
+    # Pixel-space center via the OpenGL projection matrix (renderer.py:121-123).
+    P = projection_matrix(cam).astype(means3d.dtype)
+    ph_x = t_x * P[0, 0] + t_y * P[0, 1] + tz * P[0, 2] + P[0, 3]
+    ph_y = t_x * P[1, 0] + t_y * P[1, 1] + tz * P[1, 2] + P[1, 3]
+    p_w = 1.0 / (tz + 1e-7)  # P row 3 = [0,0,1,0] -> hom w = z
+    px = ((ph_x * p_w + 1.0) * cam.width - 1.0) * 0.5   # ndc2Pix
+    py = ((ph_y * p_w + 1.0) * cam.height - 1.0) * 0.5
+
+    # EWA: J W Sigma W^T J^T with the frustum clamp on tx/ty (shared with
+    # the pose-Jacobian builder — see _conic_soa).
+    cov3d = _cov3d_components(scales, rotations)
+    conic_a, conic_b, conic_c, det_ok, radius_f, in_front = _conic_soa(
+        t_x, t_y, tz, cov3d, R, cam)
+
     valid = alive & in_front & det_ok
     # Zero-radius rows are skipped by binning AND the visibility filter.
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
@@ -213,7 +283,7 @@ def project_gaussians(
     zero = jnp.zeros_like(tz)
     packed = jnp.stack(
         [px, py,
-         c11 * inv_det, -c01 * inv_det, c00 * inv_det,
+         conic_a, conic_b, conic_c,
          opacities,
          rgb[:, 0], rgb[:, 1], rgb[:, 2],
          tz, jnp.ones_like(tz), tz * tz,

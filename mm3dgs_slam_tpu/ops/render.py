@@ -19,6 +19,7 @@ Faithfully mirrored quirks of the reference's default configs
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -200,6 +201,124 @@ def render_tiles(
         None, None, True, nc,
     )
     return acc + tfin * bg[None, :, None]
+
+
+def _pose_fwd_impl(q, T, xyz, scales, rotations, opacity, shs, alive,
+                   pair_gauss, tile_start, tile_count, rs: RenderSettings,
+                   nc: int, interpret: bool):
+    """Forward for the fused pose-gradient path: project_for_pose's exact
+    math (SoA mean transform, w2c=I projection, campos=0 — the
+    transform_means_python quirks), plus the packed conic pose-Jacobian
+    extension rows the backward kernel contracts in-register."""
+    from .pallas_composite import _composite_pallas_fwd, pack_pairs
+    from .projection import conic_pose_jacobian_rows
+
+    if rs.force_isotropic and not rs.compute_cov3d_python:
+        scales_eff = jnp.tile(scales[:, :1], (1, 3))
+    else:
+        scales_eff = scales
+
+    pose = jnp.concatenate([q, T])
+    rel_w2c = pose_to_w2c(pose)
+    mx, my, mz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    R = rel_w2c[:3, :3]
+    t = rel_w2c[:3, 3]
+    means_cam = jnp.stack(
+        [mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0],
+         mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1],
+         mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]],
+        axis=-1,
+    )
+    proj = project_gaussians(
+        means3d=means_cam, scales=scales_eff, rotations=rotations,
+        opacities=opacity, shs=shs, alive=alive,
+        w2c=jnp.eye(4, dtype=xyz.dtype), cam=rs.cam,
+        sh_degree=rs.sh_degree, campos=jnp.zeros(3, dtype=xyz.dtype))
+    ext = conic_pose_jacobian_rows(means_cam, scales_eff, rotations, xyz,
+                                   rs.cam)
+    packed32 = jnp.concatenate([proj.packed, ext], axis=-1)
+    pair_rows = pack_pairs(packed32, pair_gauss)
+    acc, tfin = _composite_pallas_fwd(pair_rows, tile_start, tile_count,
+                                      rs.cam, interpret, None, None, True,
+                                      nc)
+    bg = background(rs)[:nc]
+    out = acc + tfin * bg[None, :, None]
+    return out, (pair_rows, acc, tfin, tile_start, tile_count, q)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _tiles_pose(q, T, xyz, scales, rotations, opacity, shs, alive,
+                pair_gauss, tile_start, tile_count, rs: RenderSettings,
+                nc: int, interpret: bool):
+    out, _ = _pose_fwd_impl(q, T, xyz, scales, rotations, opacity, shs,
+                            alive, pair_gauss, tile_start, tile_count, rs,
+                            nc, interpret)
+    return out
+
+
+def _tiles_pose_fwd(q, T, xyz, scales, rotations, opacity, shs, alive,
+                    pair_gauss, tile_start, tile_count, rs, nc, interpret):
+    out, res = _pose_fwd_impl(q, T, xyz, scales, rotations, opacity, shs,
+                              alive, pair_gauss, tile_start, tile_count, rs,
+                              nc, interpret)
+    zshapes = tuple(jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        (xyz, scales, rotations, opacity, shs)))
+    return out, res + (zshapes,)
+
+
+def _tiles_pose_bwd(rs: RenderSettings, nc: int, interpret: bool, res,
+                    d_out):
+    """dq/dT straight from the fused kernel's per-tile partials:
+    dT = sum d(mean_cam); dq = vjp of the quaternion->R chain applied to
+    M = sum d(mean_cam) (x) mean_world (= dL/dR, since mcam = R mw + T).
+    The map parameters are frozen during tracking — their cotangents are
+    exact zeros (XLA DCEs them under grad-w.r.t.-pose)."""
+    from .pallas_composite import _composite_pose_bwd
+    from .pose import quat_to_rotmat
+
+    pair_rows, acc, tfin, tile_start, tile_count, q, zshapes = res
+    bg = background(rs)[:nc]
+    dacc = d_out
+    dtfin = jnp.sum(d_out * bg[None, :, None], axis=1, keepdims=True)
+    psums = _composite_pose_bwd(pair_rows, tile_start, tile_count, acc,
+                                tfin, dacc, dtfin, rs.cam, interpret, True,
+                                nc)
+    s = psums.sum(axis=(0, 2))
+    dT = s[0:3]
+    M = s[3:12]
+    _, rvjp = jax.vjp(lambda qq: quat_to_rotmat(qq).reshape(9), q)
+    (dq,) = rvjp(M)
+    zeros = tuple(jnp.zeros(zs.shape, zs.dtype) for zs in zshapes)
+    return (dq, dT) + zeros + (None, None, None, None)
+
+
+_tiles_pose.defvjp(_tiles_pose_fwd, _tiles_pose_bwd)
+
+
+def render_tiles_pose(
+    g: ActivatedGaussians,
+    q: jnp.ndarray,
+    T: jnp.ndarray,
+    rs: RenderSettings,
+    bins: TileBins,
+    nc: int = 6,
+    interpret: bool = False,
+):
+    """render_tiles with the FUSED pose-gradient backward (tracking fast
+    path): same channel-major [n_tiles, nc, PIX] forward, but grad w.r.t.
+    (q, T) comes from ops/pallas_composite._bwd_pose_kernel — no per-pair
+    gradient emission, no slot-table reduce, no per-gaussian chain.
+
+    Valid only where every pose-dependent quantity flows through the
+    camera-frame means: transform_means_python mode with sh_degree 0 (the
+    shipped configs; view-dependent SH would add a d(rgb)/d(mean_cam)
+    term the kernel does not carry)."""
+    assert rs.transform_means_python and rs.sh_degree == 0, (
+        "fused pose gradients require transform_means_python + sh_degree 0")
+    return _tiles_pose(q, T, g.xyz, g.scales, g.rotations, g.opacity,
+                       g.shs, g.alive, bins.pair_gauss, bins.tile_start,
+                       bins.tile_count, rs, nc, interpret)
 
 
 def background(rs: RenderSettings, channels: int = 6) -> jnp.ndarray:

@@ -122,6 +122,7 @@ def tracking_loss_tiles(
     initial_pose: jnp.ndarray,
     ts: TrackSettings,
     bins: TileBins,
+    pose_fused: bool = False,
 ) -> jnp.ndarray:
     """tracking_loss evaluated in the compositor's channel-major tile
     layout [n_tiles, C, PIX].
@@ -141,7 +142,19 @@ def tracking_loss_tiles(
     pass, not per output column, and NC never appears in a [PIX, CHUNK]
     VPU op — kept because it is exact and free, not because it wins."""
     nc = 6 if ts.method == "splatam" else 5
-    out6 = render_tiles(g, pose, ts.rs, bins, nc=nc)
+    if pose_fused:
+        # fused in-kernel pose gradients (ops/render.render_tiles_pose):
+        # tracking only differentiates w.r.t. (q, T), so the backward
+        # contracts per-pair field grads against packed pose Jacobians
+        # in-register instead of emitting dpair + slot-table reducing
+        # (measured -4.9 ms/iter, 16.0 -> 11.1, probe_pose_kernel.py;
+        # the CUDA w-pose rasterizer's in-kernel viewmatrix grads are
+        # the same structural move).
+        from ..ops.render import render_tiles_pose
+
+        out6 = render_tiles_pose(g, pose[:4], pose[4:], ts.rs, bins, nc=nc)
+    else:
+        out6 = render_tiles(g, pose, ts.rs, bins, nc=nc)
     image = out6[:, :3]
     depth = out6[:, 3]
     silhouette = out6[:, 4]
@@ -237,11 +250,15 @@ def _track_segment(
         est_depth_t = to_tiles(est_depth, cam)
         valid = tile_pixel_valid(cam)
 
+        pose_fused = (_os.environ.get("MM3DGS_POSE_KERNEL", "1") == "1"
+                      and ts.rs.transform_means_python
+                      and ts.rs.sh_degree == 0)
+
         def loss_fn(q, T):
             pose = jnp.concatenate([q, T])
             return tracking_loss_tiles(
                 g, pose, gt_color_t, gt_depth_t, est_depth_t, valid,
-                initial_pose, ts, bins
+                initial_pose, ts, bins, pose_fused=pose_fused
             )
     else:
         def loss_fn(q, T):
