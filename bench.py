@@ -90,6 +90,17 @@ def kernel_grad_check():
     assert rel.max() < 0.03, (
         f"pallas bwd rel grad error {rel.max():.3f} on large entries "
         "(mixed-walk envelope is ~1.3%) — spill/rewrite invariant broken?")
+    # Distributional canary: the abs-max + large-entry-rel pair above is
+    # blind to BROAD corruption confined to the 0.1%-10%-of-max band (e.g.
+    # a systematic 2x scaling of mid-magnitude grads). The mixed walk's
+    # error distribution is sharply concentrated (p50 ~7e-5 of max,
+    # PROFILE.md pass 5), so a p99 bound at 5e-3 of max catches broad
+    # mid-band corruption with ~2 orders of margin while staying far above
+    # the envelope's worst per-entry wiggle.
+    assert np.percentile(err / scale, 99) < 5e-3, (
+        f"pallas bwd grad error p99 {np.percentile(err / scale, 99):.2e} "
+        "of global max (mixed-walk p99 is ~1e-4) — broad mid-magnitude "
+        "corruption?")
 
     # Fused pose-gradient kernel (the tracking backward,
     # ops/pallas_composite._bwd_pose_kernel): the COMPILED dq/dT must match

@@ -58,6 +58,11 @@ _DEFAULTS: dict[str, Any] = {
         "check_overflow": True,        # host-check binning caps per frame
                                        # (one cheap fetch; warns + counts
                                        # breaches — slam.py run loop)
+        "prefetch": True,              # decode frame i+1 on a background
+                                       # thread while frame i's dispatches
+                                       # run (SURVEY §7 step 7; the
+                                       # reference loads synchronously,
+                                       # SLAM.py:384)
         # Kernel-module constants, exported to the MM3DGS_* environment by
         # apply_tpu_env() BEFORE the kernel modules import (they are traced
         # into compiled programs, so they cannot vary per-call). A YAML file

@@ -552,7 +552,7 @@ def _chunk_gradient(data, basis, ox, oy, logT, done, triu, A_pref,
     them against packed pose Jacobians in-register).
 
     Replays the chunk forward and returns
-    (logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat, data_out)
+    (logT, done, A_pref, dxy_x, dxy_y, dc0, dc1, dc2, dop, dfeat)
     — gradients of the loss w.r.t. the packed pair fields (screen xy,
     conic, opacity, features)."""
     (w, logT, done, alpha_raw, one_m, use, T_j, xl, yl,

@@ -79,36 +79,47 @@ class ActivatedGaussians(NamedTuple):
     alive: jnp.ndarray      # [N] bool
 
 
+def effective_scales(scales: jnp.ndarray, rs: RenderSettings) -> jnp.ndarray:
+    """Post-activation scales honoring force_isotropic: exp(tile(
+    _scaling[:,0])) (renderer.py:167-168); scales here are post-exp so
+    tiling column 0 is equivalent. compute_cov3D_python skips this branch
+    entirely (renderer.py:164-175) — see RenderSettings.compute_cov3d_python.
+
+    Shared by project_for_pose and the fused pose path (_pose_fwd_impl) so
+    a quirk/dtype change cannot diverge tracking from mapping forwards."""
+    if rs.force_isotropic and not rs.compute_cov3d_python:
+        return jnp.tile(scales[:, :1], (1, 3))
+    return scales
+
+
+def means_cam_soa(xyz: jnp.ndarray, camera_pose: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame means for a 7-vec w2c pose, the transform_means_python
+    mean move (renderer.py:142-153), in SoA form (scalar R entries x [N]
+    columns): the [N,3] @ [3,3] form's BACKWARD emits a 3-wide reduction
+    matmul that the TPU executes pathologically (measured ~5 ms/131k rows
+    d/dpose); the SoA form's transpose is nine [N]-dot reductions that fuse
+    clean. Shared by project_for_pose and _pose_fwd_impl."""
+    rel_w2c = pose_to_w2c(camera_pose)
+    mx, my, mz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    R = rel_w2c[:3, :3]
+    t = rel_w2c[:3, 3]
+    return jnp.stack(
+        [mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0],
+         mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1],
+         mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]],
+        axis=-1,
+    )
+
+
 def project_for_pose(
     g: ActivatedGaussians, camera_pose: jnp.ndarray, rs: RenderSettings
 ) -> ProjectedGaussians:
     """Project the map for a 7-vec w2c pose, honoring the transform mode."""
-    if rs.force_isotropic and not rs.compute_cov3d_python:
-        # exp(tile(_scaling[:,0])) (renderer.py:167-168); scales here are
-        # post-exp so tiling column 0 is equivalent. compute_cov3D_python
-        # skips this branch entirely (renderer.py:164-175) — see
-        # RenderSettings.compute_cov3d_python.
-        scales = jnp.tile(g.scales[:, :1], (1, 3))
-    else:
-        scales = g.scales
+    scales = effective_scales(g.scales, rs)
 
     if rs.transform_means_python:
-        rel_w2c = pose_to_w2c(camera_pose)
-        # SoA transform (scalar R entries x [N] columns): the [N,3] @ [3,3]
-        # form's BACKWARD emits a 3-wide reduction matmul that the TPU
-        # executes pathologically (measured ~5 ms/131k rows d/dpose); the
-        # SoA form's transpose is nine [N]-dot reductions that fuse clean.
-        mx, my, mz = g.xyz[:, 0], g.xyz[:, 1], g.xyz[:, 2]
-        R = rel_w2c[:3, :3]
-        t = rel_w2c[:3, 3]
-        means_cam = jnp.stack(
-            [mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0],
-             mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1],
-             mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]],
-            axis=-1,
-        )
+        means = means_cam_soa(g.xyz, camera_pose)
         w2c = jnp.eye(4, dtype=g.xyz.dtype)
-        means = means_cam
         campos = jnp.zeros(3, dtype=g.xyz.dtype)
     else:
         w2c = pose_to_w2c(camera_pose)
@@ -213,22 +224,8 @@ def _pose_fwd_impl(q, T, xyz, scales, rotations, opacity, shs, alive,
     from .pallas_composite import _composite_pallas_fwd, pack_pairs
     from .projection import conic_pose_jacobian_rows
 
-    if rs.force_isotropic and not rs.compute_cov3d_python:
-        scales_eff = jnp.tile(scales[:, :1], (1, 3))
-    else:
-        scales_eff = scales
-
-    pose = jnp.concatenate([q, T])
-    rel_w2c = pose_to_w2c(pose)
-    mx, my, mz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    R = rel_w2c[:3, :3]
-    t = rel_w2c[:3, 3]
-    means_cam = jnp.stack(
-        [mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0],
-         mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1],
-         mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]],
-        axis=-1,
-    )
+    scales_eff = effective_scales(scales, rs)
+    means_cam = means_cam_soa(xyz, jnp.concatenate([q, T]))
     proj = project_gaussians(
         means3d=means_cam, scales=scales_eff, rotations=rotations,
         opacities=opacity, shs=shs, alive=alive,

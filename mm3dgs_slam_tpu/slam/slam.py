@@ -68,6 +68,14 @@ class SLAM:
             relative_pose=True,
         )
         self.n_img = len(self.dataset)
+        # One-frame-ahead decode overlap (tpu.prefetch; data/prefetch.py):
+        # the run loop reads frames through this, everything else (init
+        # intrinsics, video re-render) reads self.dataset directly.
+        from ..data.prefetch import Prefetcher
+
+        self._frames = Prefetcher(self.dataset,
+                                  enabled=bool(cfg["tpu"].get("prefetch",
+                                                              True)))
 
         # Resized intrinsics from the first sample (SLAM.py:65-69).
         _, _, intrinsics, _, _ = self.dataset[0]
@@ -335,7 +343,7 @@ class SLAM:
             self.save_results(last_idx)
 
     def _step(self, idx: int):
-        gt_color_np, gt_depth_np, _, gt_c2w, imu_meas = self.dataset[idx]
+        gt_color_np, gt_depth_np, _, gt_c2w, imu_meas = self._frames[idx]
         gt_depth_np = gt_depth_np[..., 0]
         gt_w2c = np.linalg.inv(gt_c2w)
         gt_color_np = np.transpose(gt_color_np, (2, 0, 1)) / 255.0  # CHW [0,1]

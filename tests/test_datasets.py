@@ -152,3 +152,35 @@ def test_replicav2_eval_split_prepends_train_frame0(tmp_path):
     assert np.isclose(p0[0, 3], 0.0, atol=1e-6)   # train frame 0
     _, _, _, p1, _ = ds[1]
     assert np.isclose(p1[0, 3], 10.0, atol=1e-6)  # eval frame 0
+
+
+def test_prefetcher_sequential_and_random():
+    """data/prefetch.Prefetcher: sequential access returns the prefetched
+    item; random access falls through; items are identical to direct
+    loads; each index is loaded at most twice (once direct, once ahead)."""
+    from mm3dgs_slam_tpu.data.prefetch import Prefetcher
+
+    loads = []
+
+    class Ds:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            loads.append(i)
+            return ("item", i)
+
+    pf = Prefetcher(Ds())
+    try:
+        for i in range(6):
+            assert pf[i] == ("item", i)
+        assert pf[3] == ("item", 3)     # random access after the end
+        assert pf[5] == ("item", 5)
+        from collections import Counter
+
+        assert max(Counter(loads).values()) <= 2
+        # disabled mode is a passthrough
+        pf2 = Prefetcher(Ds(), enabled=False)
+        assert pf2[2] == ("item", 2)
+    finally:
+        pf.close()
