@@ -80,16 +80,25 @@ def gaussian_tile_rect(xy, radius, tiles_x, tiles_y):
 
 
 def _candidate_tiles(x0, rect_w, y0, count, n_slots, tiles_x):
-    """Row-major rect cells -> tile ids [N, n_slots]; -1 beyond count."""
+    """Row-major rect cells -> tile ids [N, n_slots]; -1 beyond count.
+
+    The cell split d -> (dy, dx) uses an f32 reciprocal-multiply floor
+    instead of integer division (multi-pass on the VPU; measured
+    -0.7 ms/build at 131k gaussians, scripts/probe_bins_cost2.py): the
+    reciprocal is one [N]-sized divide, the [N, n_slots] block pays only a
+    multiply+floor. Exact because d < n_slots <= 64 and w >= 1 put
+    (d + 0.5)/w at least 0.5/64 away from any integer while the f32
+    product error is < 1e-5."""
     d = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
     w = jnp.maximum(rect_w, 1)[:, None]
-    dy = d // w
+    w_recip = 1.0 / w.astype(jnp.float32)
+    dy = jnp.floor((d.astype(jnp.float32) + 0.5) * w_recip).astype(jnp.int32)
     dx = d - dy * w
     tile = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
     return jnp.where(d < count[:, None], tile, -1)
 
 
-def _tile_alpha_cull(tile, xy, conic, tau, tiles_x):
+def _tile_alpha_cull(tile, xy, conic, tau, tiles_x, n_tiles=None):
     """Drop candidate (gaussian, tile) pairs that are provably no-ops.
 
     The rect test (CUDA getRect semantics) keeps every tile of the radius
@@ -113,8 +122,19 @@ def _tile_alpha_cull(tile, xy, conic, tau, tiles_x):
     entries set to -1."""
     t = float(TILE)
     tsafe = jnp.maximum(tile, 0)
-    tx = tsafe % tiles_x
-    ty = tsafe // tiles_x
+    if n_tiles is not None and n_tiles < (1 << 22):
+        # f32 reciprocal-multiply floor for the tile-id split (integer
+        # div/mod are multi-pass VPU ops — probe_bins_cost2.py measured
+        # -0.7 ms/build together with _candidate_tiles' variant): exact
+        # while (id + 0.5)/tiles_x keeps its 0.5/tiles_x distance from
+        # integers above the f32 product error (~(n_tiles/tiles_x) *
+        # 1.2e-7), i.e. for any grid below ~4M tiles.
+        ty = jnp.floor((tsafe.astype(jnp.float32) + 0.5)
+                       * (1.0 / tiles_x)).astype(jnp.int32)
+        tx = tsafe - ty * tiles_x
+    else:
+        tx = tsafe % tiles_x
+        ty = tsafe // tiles_x
     lx = tx.astype(jnp.float32) * t - xy[:, 0:1]
     ly = ty.astype(jnp.float32) * t - xy[:, 1:2]
     hx = lx + (t - 1.0)
@@ -150,6 +170,34 @@ def _tile_alpha_cull(tile, xy, conic, tau, tiles_x):
     return jnp.where(keep, tile, -1)
 
 
+def _fill_forward_max(steps: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running max over [P] int32, two-level: in-row lane scans on
+    a [P/128, 128] view (log2(128) shifted maxes, pure VPU) + a 128x-smaller
+    carry scan over row maxima. XLA's generic associative_scan lowers to
+    full-width passes and measured 0.9 ms slower per build at 131k
+    gaussians (scripts/probe_bins_cost2.py C_scan_generic vs C_scan_2level).
+    """
+    P = steps.shape[0]
+    W = 128
+    nb = P // W
+    if nb < 2:
+        return jax.lax.associative_scan(jnp.maximum, steps)
+    x = steps[: nb * W].reshape(nb, W)
+    sh = 1
+    while sh < W:
+        x = jnp.maximum(x, jnp.pad(x, ((0, 0), (sh, 0)))[:, :W])
+        sh *= 2
+    carry = jax.lax.associative_scan(jnp.maximum, x[:, -1])
+    carry = jnp.concatenate([jnp.zeros((1,), steps.dtype), carry[:-1]])
+    out = jnp.maximum(x, carry[:, None]).reshape(-1)
+    if P > nb * W:
+        tail = jax.lax.associative_scan(
+            jnp.maximum, jnp.concatenate([out[-1:], steps[nb * W:]])
+        )
+        out = jnp.concatenate([out, tail[1:]])
+    return out
+
+
 @partial(jax.jit, static_argnames=("cam", "max_tiles_per_gaussian", "d1"))
 def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
                         max_tiles_per_gaussian: int = 64, d1: int = D1):
@@ -176,7 +224,7 @@ def binning_diagnostics(proj: ProjectedGaussians, cam: Camera,
     jax.jit,
     static_argnames=("cam", "pair_cap", "max_tiles_per_gaussian", "align",
                      "d1", "big_frac", "n_local", "tight_cull", "d2_live",
-                     "depth_tables"),
+                     "depth_tables", "reverse_tables"),
 )
 def build_bins(
     proj: ProjectedGaussians,
@@ -191,6 +239,7 @@ def build_bins(
     tight_cull: bool = True,
     d2_live: int = 0,
     depth_tables: bool = False,
+    reverse_tables: bool = True,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-sorted pair lists.
 
@@ -236,6 +285,9 @@ def build_bins(
         bench scene), so a tight cap shrinks the big reverse table and the
         pair buffer by ~2x with zero loss; breaches set `overflow` (the
         per-frame host check surfaces them).
+      reverse_tables: build the small/big reverse slot tables (align>0
+        only). False skips their inverse sort — for consumers whose
+        backward never reads them (the fused pose-kernel tracking path).
     """
     xy = jax.lax.stop_gradient(proj.xy)
     depth = jax.lax.stop_gradient(proj.depth)
@@ -283,7 +335,8 @@ def build_bins(
         conic = jax.lax.stop_gradient(proj.conic)[order]
         op = jax.lax.stop_gradient(proj.opacity)[order]
         tau = jnp.log(jnp.maximum(255.0 * op, 1e-12))
-        tileA = _tile_alpha_cull(tileA, xy, conic, tau, tiles_x)
+        tileA = _tile_alpha_cull(tileA, xy, conic, tau, tiles_x,
+                                 n_tiles=tiles_x * tiles_y)
         # left-compact kept tiles, preserving row-major order: one cross-lane
         # sort of the [N, D2] candidate block keyed by hole-ness
         d_iota = jnp.broadcast_to(
@@ -342,7 +395,9 @@ def build_bins(
         keys, pair_gauss, pair_cand = jax.lax.sort(
             (keys, cand_gauss, cand_idx), num_keys=1, is_stable=True
         )
-        pair_tile = jnp.where(keys < sentinel, keys // n_pad, n_tiles)
+        pair_tile = None  # segment bounds come from the keys directly:
+        # keys // n_pad is a P-sized non-pow2 integer division (multi-pass
+        # on the VPU) and its only consumers were searchsorted + validity
     else:  # huge maps/images: 2-key lexicographic fallback
         t1 = jnp.where(tile1 >= 0, tile1, n_tiles)
         t2 = jnp.where(tile2 >= 0, tile2, n_tiles)
@@ -356,12 +411,23 @@ def build_bins(
             is_stable=True,
         )
 
-    pair_valid = pair_tile < n_tiles
-
     # 4. segment bounds
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
+    if pair_tile is None:
+        # fused keys are (tile * n_pad + rank), rank < n_pad: tile t's
+        # segment is exactly keys in [t * n_pad, (t+1) * n_pad) — binary
+        # search the boundaries on the keys, no per-pair division
+        pair_valid = keys < sentinel
+        tile_start = jnp.searchsorted(
+            keys, tile_ids * n_pad, side="left").astype(jnp.int32)
+        tile_end = jnp.searchsorted(
+            keys, (tile_ids + 1) * n_pad, side="left").astype(jnp.int32)
+    else:
+        pair_valid = pair_tile < n_tiles
+        tile_start = jnp.searchsorted(
+            pair_tile, tile_ids, side="left").astype(jnp.int32)
+        tile_end = jnp.searchsorted(
+            pair_tile, tile_ids, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
 
     overflow = (
@@ -394,23 +460,33 @@ def build_bins(
         # bounds; clamped-away pairs simply keep the sentinel row (never
         # scattered), identical to the other caps' drop semantics
         usable = None
+        S = P  # width of the per-pair relayout ops
         if pair_cap and pair_cap < buf_cap:
             buf_cap = max((pair_cap // align) * align, 8 * align)
             usable = buf_cap - 4 * align
+            # Slice the tile-sorted stream to the buffer size before the
+            # P-sized relayout ops (scan + scatter): dead candidates sort
+            # last, target >= rank, so every pair at rank >= buf_cap would
+            # be clamp-dropped below anyway — the dropped set is unchanged.
+            # Measured ~-1 ms/build at 131k gaussians (674k -> 512k,
+            # probe_bins_cost2.py).
+            S = min(P, buf_cap)
+        pv_s = pair_valid[:S]
         delta = aligned_start - tile_start  # [n_tiles], non-decreasing
         # Per-pair delta WITHOUT a [n_tiles]-table gather (measured ~6 ms/M
         # indices on v5e): pairs are tile-sorted, so delta-per-pair is a
         # non-decreasing step function of the pair index — scatter each
         # tile's delta at its segment start (ties: empty tiles share a start,
         # max picks the last = the tile that owns the pairs) and inclusive
-        # max-scan. Trailing-empty-tile starts == P are dropped.
-        steps = jnp.zeros((P,), jnp.int32).at[tile_start].max(
+        # max-scan. Segment starts beyond the slice (== P, or clamped
+        # tiles') are dropped.
+        steps = jnp.zeros((S,), jnp.int32).at[tile_start].max(
             delta, mode="drop"
         )
-        pair_delta = jax.lax.associative_scan(jnp.maximum, steps)
+        pair_delta = _fill_forward_max(steps)
         target = jnp.where(
-            pair_valid,
-            jnp.arange(P, dtype=jnp.int32) + pair_delta,
+            pv_s,
+            jnp.arange(S, dtype=jnp.int32) + pair_delta,
             buf_cap,
         )
         if usable is not None:
@@ -423,15 +499,34 @@ def build_bins(
         # sentinel gauss id N marks invalid slots: the pack's row gather uses
         # mode="fill" so they read as all-zero pair data
         pg = jnp.full((buf_cap,), N, jnp.int32).at[target].set(
-            pair_gauss, mode="drop"
+            pair_gauss[:S], mode="drop"
         )
         pv = pg < N
 
         # 6. reverse tables: invert the sort WITH a sort (pair_cand is a
         # permutation of arange(P), so sorting by it is a gather-free inverse
-        # and sorts are ~3x cheaper than P-sized scatters here).
+        # and sorts are ~3x cheaper than P-sized scatters here — a scatter
+        # variant re-measured +2.8 ms/build, probe_bins_cost2.py). Sliced-
+        # away candidates get sentinel slots (they were dropped pairs).
+        # reverse_tables=False skips the whole section (-0.85 ms/build):
+        # the fused pose-kernel tracking backward never reads the slot
+        # tables (it contracts pose Jacobians in-kernel), so the tracker's
+        # rebins don't pay for them (slam/tracker.py _track_bins).
+        if not reverse_tables:
+            return TileBins(
+                pair_gauss=pg,
+                pair_valid=pv,
+                tile_start=aligned_start,
+                tile_count=tile_count,
+                n_pairs=n_pairs.astype(jnp.int32),
+                overflow=overflow,
+            )
+        slot_full = jnp.full((P,), SLOT_SENTINEL, jnp.int32)
+        slot_full = jax.lax.dynamic_update_slice(
+            slot_full, jnp.where(pv_s, target, SLOT_SENTINEL), (0,)
+        )
         _, slot_of_cand = jax.lax.sort(
-            (pair_cand, jnp.where(pair_valid, target, SLOT_SENTINEL)),
+            (pair_cand, slot_full),
             num_keys=1,
         )
         small_depth_order = slot_of_cand[: N * D1_].reshape(N, D1_)

@@ -186,6 +186,21 @@ def tracking_loss_tiles(
     return loss
 
 
+def _pose_fused_static(ts: TrackSettings) -> bool:
+    """True when the segment will take the fused pose-kernel path
+    (render_tiles_pose): every term is trace-time static, so _track_bins
+    and _track_segment can share the decision — the fused backward never
+    reads the reverse slot tables, so the tracker's rebins skip building
+    them (-0.85 ms/build, scripts/probe_bins_cost2.py)."""
+    import os as _os
+
+    return (_os.environ.get("MM3DGS_POSE_KERNEL", "1") == "1"
+            and _os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
+            and ts.mesh is None and ts.rs.use_pallas
+            and not ts.rs.use_oracle
+            and ts.rs.transform_means_python and ts.rs.sh_degree == 0)
+
+
 @partial(jax.jit, static_argnames=("ts",))
 def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     from ..ops.binning import build_bins
@@ -207,7 +222,8 @@ def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     proj = replicate_proj(proj, ts.mesh)
     return build_bins(proj, rs.cam, rs.pair_cap, rs.max_tiles_per_gaussian,
                       align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
-                      d2_live=rs.bin_d2_live)
+                      d2_live=rs.bin_d2_live,
+                      reverse_tables=not _pose_fused_static(ts))
 
 
 @partial(jax.jit, static_argnames=("ts", "n_iters"))
@@ -239,20 +255,21 @@ def _track_segment(
     summation order."""
     import os as _os
 
-    tiled = (_os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
-             and ts.mesh is None and ts.rs.use_pallas
-             and not ts.rs.use_oracle
-             and isinstance(bins, TileBins) and bins.small_slots is not None)
+    pose_fused = _pose_fused_static(ts) and isinstance(bins, TileBins)
+    # the fused pose path never touches the reverse slot tables (so
+    # _track_bins skips building them: bins.small_slots is None then);
+    # the general tile path's pack backward requires them
+    tiled = pose_fused or (
+        _os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
+        and ts.mesh is None and ts.rs.use_pallas
+        and not ts.rs.use_oracle
+        and isinstance(bins, TileBins) and bins.small_slots is not None)
     if tiled:
         cam = ts.rs.cam
         gt_color_t = to_tiles(gt_color, cam)
         gt_depth_t = to_tiles(gt_depth, cam)
         est_depth_t = to_tiles(est_depth, cam)
         valid = tile_pixel_valid(cam)
-
-        pose_fused = (_os.environ.get("MM3DGS_POSE_KERNEL", "1") == "1"
-                      and ts.rs.transform_means_python
-                      and ts.rs.sh_degree == 0)
 
         def loss_fn(q, T):
             pose = jnp.concatenate([q, T])
