@@ -146,7 +146,12 @@ def apply_tpu_env(cfg: dict) -> None:
 
 _BLOCK_DEFAULTS: dict[str, dict[str, Any]] = {
     "debug": {"get_runtime_stats": False, "create_video": False,
-              "save_keyframes": False},
+              "save_keyframes": False,
+              # Directory for a jax.profiler trace of the whole run
+              # (TensorBoard / xprof readable). None = off. The reference
+              # has wall-clock counters only (SLAM.py:352-370); this is
+              # the TPU-native deep-profiling hook (SURVEY §5).
+              "jax_profiler_dir": None},
     "pipeline": {"convert_SHs_python": False, "compute_cov3D_python": False,
                  "transform_means_python": True, "force_isotropic": False,
                  "use_rgb": False},

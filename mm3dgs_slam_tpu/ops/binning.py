@@ -387,14 +387,21 @@ def build_bins(
     cand_gauss = jnp.concatenate([gauss1.reshape(-1), gauss2.reshape(-1)])
 
     P = cand_gauss.shape[0]
-    cand_idx = jnp.arange(P, dtype=jnp.int32)
+    # candidate ids ride the sort only when the reverse tables (their sole
+    # consumer) will be built — a 2-array sort is measurably cheaper than
+    # a 3-array one on the tracker's table-free rebuilds
+    need_cand = bool(align) and reverse_tables
+    cand_idx = (jnp.arange(P, dtype=jnp.int32),) if need_cand else ()
+    pair_cand = None
     if use_fused:
         key1 = jnp.where(tile1 >= 0, tile1 * n_pad + rank1, sentinel)
         key2 = jnp.where(tile2 >= 0, tile2 * n_pad + rank2, sentinel)
         keys = jnp.concatenate([key1.reshape(-1), key2.reshape(-1)])
-        keys, pair_gauss, pair_cand = jax.lax.sort(
-            (keys, cand_gauss, cand_idx), num_keys=1, is_stable=True
+        keys, pair_gauss, *rest = jax.lax.sort(
+            (keys, cand_gauss) + cand_idx, num_keys=1, is_stable=True
         )
+        if need_cand:
+            (pair_cand,) = rest
         pair_tile = None  # segment bounds come from the keys directly:
         # keys // n_pad is a P-sized non-pow2 integer division (multi-pass
         # on the VPU) and its only consumers were searchsorted + validity
@@ -406,10 +413,12 @@ def build_bins(
             [jnp.broadcast_to(rank1, tile1.shape).reshape(-1),
              jnp.broadcast_to(rank2, tile2.shape).reshape(-1)]
         )
-        pair_tile, _, pair_gauss, pair_cand = jax.lax.sort(
-            (tiles_c, ranks_c, cand_gauss, cand_idx), num_keys=2,
+        pair_tile, _, pair_gauss, *rest = jax.lax.sort(
+            (tiles_c, ranks_c, cand_gauss) + cand_idx, num_keys=2,
             is_stable=True,
         )
+        if need_cand:
+            (pair_cand,) = rest
 
     # 4. segment bounds
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)

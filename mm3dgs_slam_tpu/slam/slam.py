@@ -319,6 +319,14 @@ class SLAM:
     def run(self):
         print("Method: " + self.cfg["method"])
         last_idx = 0
+        trace_dir = self.cfg["debug"].get("jax_profiler_dir")
+        if trace_dir:
+            # device-level trace of the whole run (debug.jax_profiler_dir;
+            # TensorBoard/xprof readable) — the TPU-native counterpart of
+            # the reference's wall-clock counters (SLAM.py:352-370)
+            import jax
+
+            jax.profiler.start_trace(str(trace_dir))
         try:
             for idx in range(self.n_img):
                 t_frame = time.perf_counter()
@@ -339,6 +347,11 @@ class SLAM:
             traceback.print_exc()
             print("\nSLAM failed. Saving map and results.\n")
         finally:
+            if trace_dir:
+                import jax
+
+                jax.profiler.stop_trace()
+                print(f"jax profiler trace written to {trace_dir}")
             self.save_map(last_idx)
             self.save_results(last_idx)
 

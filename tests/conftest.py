@@ -14,8 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+# The golden full-budget regression (MM3DGS_GOLDEN=1, test_golden.py) is
+# gated to real hardware — forcing CPU would silently run it at CPU speed
+# (hours), and the CPU suite's precision=highest override would diverge it
+# from the production CLI it regression-locks; leave the environment's TPU
+# backend and default precision in place for that invocation only.
+if os.environ.get("MM3DGS_GOLDEN") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 import pytest  # noqa: E402

@@ -44,3 +44,19 @@ def test_crash_mid_run_saves_artifacts(tmp_path, capsys):
     from mm3dgs_slam_tpu.models.ply_io import load_ply
     d = load_ply(sorted(plys)[-1])
     assert d["xyz"].shape[0] > 0
+
+
+def test_jax_profiler_trace_hook(tmp_path):
+    """debug.jax_profiler_dir writes a TensorBoard-readable trace of the
+    run (SURVEY §5's deep-profiling hook; off by default)."""
+    from mm3dgs_slam_tpu.slam.slam import SLAM
+
+    cfg = make_cfg(tmp_path)
+    cfg["tracking"]["iters"] = 2
+    cfg["mapping"]["iters"] = 2
+    cfg["synthetic"]["n_frames"] = 2
+    trace_dir = tmp_path / "trace"
+    cfg["debug"]["jax_profiler_dir"] = str(trace_dir)
+    SLAM(cfg).run()
+    files = list(trace_dir.rglob("*"))
+    assert any(f.is_file() for f in files), "no profiler trace written"
