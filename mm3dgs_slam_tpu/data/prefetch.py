@@ -50,5 +50,10 @@ class Prefetcher:
             return item
 
     def close(self):
+        """Stop the worker; later accesses degrade to direct loads."""
         if self._pool is not None:
+            with self._lock:
+                self.enabled = False
+                self._next_idx = None
+                self._future = None
             self._pool.shutdown(wait=False, cancel_futures=True)

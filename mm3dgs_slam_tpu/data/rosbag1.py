@@ -595,6 +595,9 @@ class BagWriter:
         self._defs: Dict[int, Tuple[str, str]] = {}
         self._conn_records: List[bytes] = []
         self._chunk: List[bytes] = []
+        self._chunk_size = 0   # running byte total of self._chunk —
+        #   message offsets inside a chunk are needed per write and a
+        #   sum() over the record list is O(n^2) per chunk
         self._chunk_index: Dict[int, List[Tuple[int, int, int]]] = {}
         self._chunk_infos: List[bytes] = []
         self._chunk_threshold = chunk_threshold
@@ -639,6 +642,7 @@ class BagWriter:
              "topic": topic.encode()}, inner)
         self._conn_records.append(rec)
         self._chunk.append(rec)
+        self._chunk_size += len(rec)
         self._defs[cid] = (msg_type, definition)
         return cid
 
@@ -659,11 +663,12 @@ class BagWriter:
         else:
             secs = int(t)
             nsecs = int(round((t - secs) * 1e9))
-        offset = sum(len(r) for r in self._chunk)
+        offset = self._chunk_size
         rec = self._record(
             {"op": bytes([_OP_MSG]), "conn": _U32.pack(cid),
              "time": _TIME.pack(secs, nsecs)}, data)
         self._chunk.append(rec)
+        self._chunk_size += len(rec)
         self._chunk_index.setdefault(cid, []).append((secs, nsecs, offset))
         if offset + len(rec) >= self._chunk_threshold:
             self._flush_chunk()
@@ -703,6 +708,7 @@ class BagWriter:
         # each chunk must carry the connection records of the messages it
         # contains (rosbag's own layout); seed the next chunk with all
         self._chunk = list(self._conn_records)
+        self._chunk_size = sum(len(r) for r in self._chunk)
         self._chunk_index = {}
 
     def close(self):

@@ -352,6 +352,7 @@ class SLAM:
 
                 jax.profiler.stop_trace()
                 print(f"jax profiler trace written to {trace_dir}")
+            self._frames.close()  # stop the prefetch worker (non-daemon)
             self.save_map(last_idx)
             self.save_results(last_idx)
 

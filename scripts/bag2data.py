@@ -14,7 +14,7 @@ contract exactly (bag2data.py:24-159):
     <path>/<scene>/rgb.txt           "<stamp> rgb/NNNNNN.png"
     <path>/<scene>/depth/NNNNNN.png  uint16, bottom 60 px cropped (:119)
     <path>/<scene>/depth.txt
-    <path>/<scene>/imu.txt           37 columns: stamp + orientation(4) +
+    <path>/<scene>/imu.txt           38 columns: stamp + orientation(4) +
                                      3x3 cov + ang_vel(3) + 3x3 cov +
                                      lin_accel(3) + 3x3 cov (:133-158);
                                      the SLAM loaders read ang_vel at
@@ -55,6 +55,18 @@ def _stamp(msg) -> str:
     return f"{msg.header.stamp.secs}.{msg.header.stamp.nsecs:09d}"
 
 
+def _rows(msg, bytes_per_pixel: int) -> bytes:
+    """Raw Image payload with any row stride (msg.step) collapsed to
+    contiguous w*bytes_per_pixel rows — cv_bridge honors step, so bags
+    from drivers that pad rows must keep converting here too."""
+    h, w = int(msg.height), int(msg.width)
+    buf = np.frombuffer(np.asarray(msg.data, dtype=np.uint8), np.uint8)
+    step = int(getattr(msg, "step", 0)) or w * bytes_per_pixel
+    if step == w * bytes_per_pixel:
+        return buf.tobytes()
+    return buf.reshape(h, step)[:, : w * bytes_per_pixel].tobytes()
+
+
 def _decode_color(msg) -> np.ndarray:
     """CompressedImage (jpeg/png payload) or raw Image -> BGR uint8 (the
     reference goes through cv_bridge with desired_encoding='bgr8')."""
@@ -68,28 +80,29 @@ def _decode_color(msg) -> np.ndarray:
         return img
     enc = msg.encoding.lower()
     h, w = int(msg.height), int(msg.width)
-    buf = np.asarray(msg.data, dtype=np.uint8)
     if enc in ("bgr8", "rgb8"):
-        img = buf.reshape(h, w, 3)
-        return img[:, :, ::-1].copy() if enc == "rgb8" else img
+        img = np.frombuffer(_rows(msg, 3), np.uint8).reshape(h, w, 3)
+        return img[:, :, ::-1].copy() if enc == "rgb8" else img.copy()
     if enc == "bgra8":
-        return buf.reshape(h, w, 4)[:, :, :3].copy()
+        return np.frombuffer(_rows(msg, 4), np.uint8).reshape(
+            h, w, 4)[:, :, :3].copy()
     if enc == "mono8":
-        return np.repeat(buf.reshape(h, w, 1), 3, axis=2)
+        m = np.frombuffer(_rows(msg, 1), np.uint8).reshape(h, w, 1)
+        return np.repeat(m, 3, axis=2)
     raise ValueError(f"unsupported color encoding {enc!r}")
 
 
 def _decode_depth(msg) -> np.ndarray:
     """Raw depth Image -> uint16 (mm), matching bag2data.py:115-121."""
     h, w = int(msg.height), int(msg.width)
-    buf = np.asarray(msg.data, dtype=np.uint8).tobytes()
     enc = msg.encoding.lower()
     if enc in ("16uc1", "mono16"):
         dt = ">u2" if msg.is_bigendian else "<u2"
-        return np.frombuffer(buf, dtype=dt).reshape(h, w).astype(np.uint16)
+        return np.frombuffer(_rows(msg, 2), dtype=dt).reshape(
+            h, w).astype(np.uint16)
     if enc == "32fc1":
         dt = ">f4" if msg.is_bigendian else "<f4"
-        m = np.frombuffer(buf, dtype=dt).reshape(h, w)
+        m = np.frombuffer(_rows(msg, 4), dtype=dt).reshape(h, w)
         return np.nan_to_num(m * 1000.0).clip(0, 65535).astype(np.uint16)
     raise ValueError(f"unsupported depth encoding {enc!r}")
 
@@ -207,12 +220,23 @@ def main():
     parser.add_argument("--tf-target", default=TF_TARGET)
     parser.add_argument("--tf-source", default=TF_SOURCE)
     parser.add_argument("--crop-bottom", type=int, default=CROP_BOTTOM)
+    parser.add_argument("--bag", type=str, default=None,
+                        help="Explicit .bag file (required when the scene "
+                             "directory holds more than one).")
     args = parser.parse_args()
 
-    bags = glob(os.path.join(args.path, args.scene, "*.bag"))
-    if not bags:
-        sys.exit(f"no .bag file under {args.path}/{args.scene}")
-    convert(bags[0], os.path.join(args.path, args.scene),
+    if args.bag:
+        bag = args.bag
+    else:
+        bags = sorted(glob(os.path.join(args.path, args.scene, "*.bag")))
+        if not bags:
+            sys.exit(f"no .bag file under {args.path}/{args.scene}")
+        if len(bags) > 1:
+            sys.exit("multiple .bag files under "
+                     f"{args.path}/{args.scene}: {bags}; pick one with "
+                     "--bag")
+        bag = bags[0]
+    convert(bag, os.path.join(args.path, args.scene),
             topics={k: getattr(args, f"{k}_topic") for k in TOPICS},
             tf_target=args.tf_target, tf_source=args.tf_source,
             crop_bottom=args.crop_bottom)

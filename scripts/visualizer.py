@@ -119,18 +119,12 @@ class FreeViewController:
                 w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
                 w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
             ])
-            R, t = self._w2c()
-            q_n = q / np.linalg.norm(q)
-            w, x, y, z = q_n
-            Rn = np.array([
-                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-            ])
             # rotate about the camera CENTER, not the world origin: keep the
             # camera position c = -R^T t fixed while the orientation turns
+            R, t = self._w2c()
             c = -R.T @ t
-            self.pose[:4] = q_n
+            self.pose[:4] = q / np.linalg.norm(q)
+            Rn, _ = self._w2c()
             self.pose[4:] = -Rn @ c
             return True
         return False
@@ -226,8 +220,16 @@ def main():
 
     if args.interactive:
         ctrl = FreeViewController(pose_est[0])
-        run_interactive(render_view, ctrl)
-        return
+        try:
+            run_interactive(render_view, ctrl)
+            return
+        except Exception as e:
+            # a GUI backend can import fine on a display-less host and only
+            # fail when the window opens (e.g. tkinter.TclError: no
+            # $DISPLAY) — degrade to the offline renderer either way
+            print(f"interactive window failed ({e!r}); falling back to "
+                  "offline rendering")
+            matplotlib.use("Agg", force=True)
 
     out_dir = os.path.join(cfg["outputdir"], "visualizer")
     os.makedirs(out_dir, exist_ok=True)
