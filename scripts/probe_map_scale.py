@@ -78,7 +78,16 @@ def main():
     k0 = jnp.asarray(0, jnp.int32)
     base_i = jnp.asarray(1, jnp.int32)
 
-    variants = {"f32": rs, "bf16": rs._replace(grad_bf16=True)}
+    import os as _os
+    if _os.environ.get("MM3DGS_PROBE_CAPSWEEP", "0") == "1":
+        # round-4 superlinearity check: is the 131k->262k cost growth
+        # (2.0x pairs -> 2.3-2.6x ms) intrinsic, or the 2M static
+        # pair_cap padding the buffer to ~2.6x the live pairs (every
+        # buffer slot pays the pack gather + bwd zero-fill)?
+        variants = {"cap2M": rs,
+                    "cap1M": rs._replace(pair_cap=1 << 20)}
+    else:
+        variants = {"f32": rs, "bf16": rs._replace(grad_bf16=True)}
     times = {name: [] for name in variants}
     settings = {
         name: MapOptSettings(rs=v, iters=N_ITERS, method="vigs",
