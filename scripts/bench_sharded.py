@@ -31,6 +31,16 @@ def main():
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={N_DEV}"
         ).strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        # single-core CPU meshes can skew collective rendezvous arrivals
+        # past XLA's default 40 s termination watchdog, which aborts the
+        # process (see tests/conftest.py) — raise it for the dry run too
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        )
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -8,9 +8,18 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # XLA CPU collectives run one thread per virtual device on this ONE
+    # physical core; a big sharded dispatch can skew rendezvous arrivals
+    # past the default 40 s TERMINATION timeout, and XLA then aborts the
+    # whole process (rendezvous.cc "Exiting to ensure a consistent
+    # program state" — killed the 8-device SLAM e2e). These are debug
+    # watchdogs, not correctness timeouts: raise them far above any
+    # single-dispatch runtime on this host.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -263,3 +263,47 @@ def test_bag2data_end_to_end(tmp_path):
     assert color.shape == (h - crop, w, 3)
     assert float(depth.max()) <= 3.01
     assert imu_t is not None and imu_t.shape[1] == 37
+
+
+def test_image_decode_honors_row_stride():
+    """Raw Image messages whose step > width*bpp (drivers that pad rows)
+    must decode like cv_bridge: drop the per-row padding, keep the pixels
+    (scripts/bag2data._rows)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import bag2data as b2d
+
+    rng = np.random.default_rng(3)
+    h, w, pad = 5, 7, 9
+
+    class Msg:
+        pass
+
+    # bgr8 with padded rows
+    img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    padded = np.concatenate(
+        [img.reshape(h, w * 3),
+         np.zeros((h, pad), np.uint8)], axis=1)
+    m = Msg()
+    m._type = "sensor_msgs/Image"
+    m.encoding = "bgr8"
+    m.height, m.width = h, w
+    m.step = w * 3 + pad
+    m.is_bigendian = 0
+    m.data = padded.reshape(-1)
+    np.testing.assert_array_equal(b2d._decode_color(m), img)
+
+    # 16UC1 depth with padded rows
+    dep = (rng.uniform(0, 4000, size=(h, w))).astype(np.uint16)
+    padded = np.concatenate(
+        [np.frombuffer(dep.tobytes(), np.uint8).reshape(h, w * 2),
+         np.zeros((h, pad), np.uint8)], axis=1)
+    m2 = Msg()
+    m2._type = "sensor_msgs/Image"
+    m2.encoding = "16UC1"
+    m2.height, m2.width = h, w
+    m2.step = w * 2 + pad
+    m2.is_bigendian = 0
+    m2.data = padded.reshape(-1)
+    np.testing.assert_array_equal(b2d._decode_depth(m2), dep)
