@@ -29,7 +29,11 @@ def main():
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={N_DEV}"
+            flags + f" --xla_force_host_platform_device_count={2 * N_DEV}"
+            # 2x pool slack: XLA CPU pools one thread per
+            # device and rendezvous participants BLOCK their
+            # thread; pool == participants can deadlock an
+            # n-partition collective (tests/conftest.py)
         ).strip()
     if "xla_cpu_collective_call_terminate_timeout_seconds" not in \
             os.environ.get("XLA_FLAGS", ""):
@@ -44,6 +48,10 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # synchronous dispatch: the async CPU queue can deadlock
+    # multi-partition programs on a single-core host (see
+    # tests/conftest.py)
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_scene

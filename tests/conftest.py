@@ -8,7 +8,15 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # 16 virtual devices for 8-device meshes ON PURPOSE: XLA CPU sizes its
+    # execution thread pool by device count, and a rendezvous participant
+    # BLOCKS its pool thread — with pool == participants, an 8-partition
+    # collective can strand its last participant with no thread to run on
+    # and deadlock (reproduced 5/5 by the 8-device SLAM e2e at frame 2's
+    # first tracking dispatch, on round-3 code too; 16-device pool slack
+    # fixed it 0/1... see the round-4 investigation in PROFILE.md). The
+    # extra 8 devices idle — meshes slice the first 8.
+    _flags = (_flags + " --xla_force_host_platform_device_count=16").strip()
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     # XLA CPU collectives run one thread per virtual device on this ONE
     # physical core; a big sharded dispatch can skew rendezvous arrivals
@@ -37,6 +45,15 @@ _golden_run = (os.environ.get("MM3DGS_GOLDEN") == "1"
 if not _golden_run:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Synchronous CPU dispatch: the async queue can DEADLOCK 8-partition
+    # sharded programs on this single-core host — with enough dispatches
+    # in flight, one partition's execute never gets scheduled while the
+    # other 7 block at a cross-partition all-gather, and XLA's rendezvous
+    # watchdog then aborts the process ("only 7 of them arrived on
+    # time", rendezvous.cc — reproduced deterministically by the
+    # 8-device SLAM e2e; raising the watchdog timeouts only delayed the
+    # abort). Async dispatch buys nothing on one core anyway.
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 
 import pytest  # noqa: E402
