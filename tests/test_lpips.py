@@ -93,3 +93,36 @@ def test_lpips_nan_without_weights(monkeypatch):
     assert np.isnan(L.lpips(np.zeros((3, 8, 8), np.float32),
                             np.zeros((3, 8, 8), np.float32)))
     L._load_weights.cache_clear()
+
+
+def test_lpips_proxy_orders_degradations():
+    """The shipped random-VGG proxy must behave like a perceptual metric,
+    not noise: zero at identity, strictly increasing along blur and noise
+    severity ladders (the same fixture pattern that locks the NIQE
+    ordering claim in test_quality.py). This is the substance behind
+    reporting it as a REGRESSION signal."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from mm3dgs_slam_tpu.eval.lpips import lpips_proxy
+
+    rng = np.random.default_rng(7)
+    base = gaussian_filter(rng.uniform(size=(3, 96, 128)), 2.0)
+    base += 0.3 * gaussian_filter(rng.uniform(size=(3, 96, 128)), 0.8)
+    base = ((base - base.min()) / np.ptp(base)).astype(np.float32)
+
+    assert lpips_proxy(base, base) == 0.0
+
+    blur_scores = [lpips_proxy(
+        np.stack([gaussian_filter(c, s) for c in base]), base)
+        for s in (0.5, 1.5, 3.0, 6.0)]
+    assert all(np.isfinite(blur_scores))
+    assert all(b > 0 for b in blur_scores)
+    assert blur_scores == sorted(blur_scores), blur_scores
+
+    noise_scores = [lpips_proxy(
+        np.clip(base + rng.normal(0, s, base.shape).astype(np.float32),
+                0, 1), base)
+        for s in (0.01, 0.05, 0.15, 0.4)]
+    assert all(np.isfinite(noise_scores))
+    assert noise_scores == sorted(noise_scores), noise_scores
