@@ -192,9 +192,11 @@ def main():
     times = []
     for i, j in enumerate(jitters(REPS + WARM)):
         t0 = time.perf_counter()
-        p, l = track_frame(g_act, j, gt_color, gt_depth, zeros_d, ts)
+        p, l, ovf = track_frame(g_act, j, gt_color, gt_depth, zeros_d, ts)
         float(l)  # host fetch forces completion
         times.append(time.perf_counter() - t0)
+        # outside the timed window (its fetch is its own round trip)
+        assert not bool(ovf), "tracking rebins overflowed the binning caps"
     track_s = sorted(times[WARM:])[len(times[WARM:]) // 2]
 
     # --- mapping (150 iters inside one jitted fori_loop) ----------------
@@ -231,10 +233,11 @@ def main():
     times = []
     for i in range(REPS + WARM):
         t0 = time.perf_counter()
-        outc = optimize_map(carry(i + 1), kf_colors, kf_depths, kf_ests,
-                            schedule, extent, ms)
+        outc, ovf = optimize_map(carry(i + 1), kf_colors, kf_depths, kf_ests,
+                                 schedule, extent, ms)
         float(outc.last_loss)
         times.append(time.perf_counter() - t0)
+        assert not bool(ovf), "mapping rebins overflowed the binning caps"
     map_s = sorted(times[WARM:])[len(times[WARM:]) // 2]
 
     frame_s = track_s + map_s

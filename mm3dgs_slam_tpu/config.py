@@ -79,15 +79,23 @@ _DEFAULTS: dict[str, Any] = {
                                        # measured NET-SLOWER on dense maps
                                        # (17.81 vs 18.56 ms/iter) — enable
                                        # for heavy-overdraw scenes
-        "track_tiles": True,           # MM3DGS_TRACK_TILES: tile-layout
-                                       # tracking loss (1.1 ms/iter faster
-                                       # than image assembly on v5e)
-        "pose_kernel": True,           # MM3DGS_POSE_KERNEL: fused in-kernel
-                                       # pose gradients for tracking (no
-                                       # per-pair emission / slot-table
-                                       # reduce); auto-gated to
+        "map_tiles": True,             # tile-layout mapping loss: nc=3/4
+                                       # channel-slim walk + rgb-only
+                                       # assembly for SSIM (the mapping
+                                       # analogue of track_tiles); a
+                                       # MapOptSettings field —
+                                       # MM3DGS_MAP_TILES overrides
+        "track_tiles": True,           # tile-layout tracking loss (1.1
+                                       # ms/iter faster than image assembly
+                                       # on v5e); a TrackSettings field —
+                                       # MM3DGS_TRACK_TILES overrides
+        "pose_kernel": True,           # fused in-kernel pose gradients for
+                                       # tracking (no per-pair emission /
+                                       # slot-table reduce); auto-gated to
                                        # transform_means_python + sh_degree
-                                       # 0 + single-device pallas tracking
+                                       # 0 + single-device pallas tracking;
+                                       # a TrackSettings field —
+                                       # MM3DGS_POSE_KERNEL overrides
     },
 }
 
@@ -104,9 +112,10 @@ _TPU_ENV_KNOBS: dict[str, tuple[str, Any, tuple[str, str] | None]] = {
                      ("mm3dgs_slam_tpu.ops.pallas_composite", "_FWD_SPLIT")),
     "pl_early_exit": ("MM3DGS_PL_EARLY_EXIT", lambda b: "1" if b else "0",
                       ("mm3dgs_slam_tpu.ops.pallas_composite", "EARLY_EXIT")),
-    # read at trace time, not import time — no module constant to check
-    "track_tiles": ("MM3DGS_TRACK_TILES", lambda b: "1" if b else "0", None),
-    "pose_kernel": ("MM3DGS_POSE_KERNEL", lambda b: "1" if b else "0", None),
+    # tpu.track_tiles / tpu.pose_kernel are NOT env-exported: they are
+    # TrackSettings fields resolved in SLAM.__init__ (env var overrides cfg
+    # there; the import-time env default only seeds directly-constructed
+    # TrackSettings in probes/tests — slam/tracker.py).
 }
 
 
@@ -151,7 +160,12 @@ _BLOCK_DEFAULTS: dict[str, dict[str, Any]] = {
               # (TensorBoard / xprof readable). None = off. The reference
               # has wall-clock counters only (SLAM.py:352-370); this is
               # the TPU-native deep-profiling hook (SURVEY §5).
-              "jax_profiler_dir": None},
+              "jax_profiler_dir": None,
+              # Per-frame wall decomposition (data/track/depth_fit/mapper
+              # phases; printed at save_results + results.npz
+              # ["frame_decomp"]). Adds host syncs at phase boundaries —
+              # a diagnostic, not a production default.
+              "frame_decomp": False},
     "pipeline": {"convert_SHs_python": False, "compute_cov3D_python": False,
                  "transform_means_python": True, "force_isotropic": False,
                  "use_rgb": False},

@@ -42,6 +42,11 @@ class Prefetcher:
         if not self.enabled:
             return self.dataset[idx]
         with self._lock:
+            # re-check enabled INSIDE the lock: a close() that won the race
+            # flipped it and shut the pool down, and a subsequent submit
+            # would raise "cannot schedule new futures after shutdown"
+            if not self.enabled:
+                return self.dataset[idx]
             if self._next_idx == idx and self._future is not None:
                 item = self._future.result()
             else:

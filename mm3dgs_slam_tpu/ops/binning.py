@@ -171,11 +171,15 @@ def _tile_alpha_cull(tile, xy, conic, tau, tiles_x, n_tiles=None):
 
 
 def _fill_forward_max(steps: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive running max over [P] int32, two-level: in-row lane scans on
-    a [P/128, 128] view (log2(128) shifted maxes, pure VPU) + a 128x-smaller
-    carry scan over row maxima. XLA's generic associative_scan lowers to
-    full-width passes and measured 0.9 ms slower per build at 131k
-    gaussians (scripts/probe_bins_cost2.py C_scan_generic vs C_scan_2level).
+    """Inclusive running max over [P] int32 — PRECONDITION: steps >= 0
+    (the zero pad/carry seeds act as the scan identity only for
+    non-negative inputs; negative values would be silently clamped at 0).
+    The caller's steps are aligned_start - tile_start deltas, provably
+    >= 0. Two-level: in-row lane scans on a [P/128, 128] view (log2(128)
+    shifted maxes, pure VPU) + a 128x-smaller carry scan over row maxima.
+    XLA's generic associative_scan lowers to full-width passes and measured
+    0.9 ms slower per build at 131k gaussians (scripts/probe_bins_cost2.py
+    C_scan_generic vs C_scan_2level).
     """
     P = steps.shape[0]
     W = 128

@@ -1006,15 +1006,22 @@ def _bwd_pose_kernel(tile_lo_ref, tile_start_ref, tile_count_ref, pair_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret",
-                                              "chan_major", "nc"))
+                                              "chan_major", "nc", "n_local"))
 def _composite_pose_bwd(pair_rows, tile_start, tile_count, acc, tfin,
                         dacc, dtfin, cam: Camera, interpret: bool = False,
-                        chan_major: bool = True, nc: int = NC):
+                        chan_major: bool = True, nc: int = NC,
+                        tile_lo=None, n_local: int | None = None):
     """Fused pose backward: [NF_POSE, P] Jacobian-extended pair rows ->
     per-tile pose-gradient partials [n_tiles, 16, CHUNK] (see
-    _bwd_pose_kernel for the row layout)."""
-    n_tiles = cam.n_tiles
-    tile_lo = jnp.zeros((1,), jnp.int32)
+    _bwd_pose_kernel for the row layout). `tile_lo`/`n_local`: optional
+    tile WINDOW for the tile-sharded tracking path (same contract as
+    _composite_pallas_fwd) — the per-window [16] partial sums are
+    psum-ready across shards."""
+    n_tiles = cam.n_tiles if n_local is None else n_local
+    if tile_lo is None:
+        tile_lo = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_lo = jnp.asarray(tile_lo, jnp.int32).reshape(1)
     kernel = functools.partial(
         _bwd_pose_kernel, tiles_x=cam.tiles_x, n_tiles=n_tiles,
         gradient_walk=_PREC_MODE == "mixed" and not interpret,

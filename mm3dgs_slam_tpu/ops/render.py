@@ -163,6 +163,22 @@ def to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
     return t[:, 0] if squeeze else t
 
 
+def from_tiles(t: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """CHANNEL-major tile layout [n_tiles, C, TILE*TILE] -> [C, H, W].
+
+    The inverse of to_tiles; used by the tile-layout MAPPING loss to
+    assemble ONLY the channels a 2D-structured loss needs (SSIM's windowed
+    statistics need the image; L1/Pearson do not) instead of the full
+    [6, H, W] image every iteration."""
+    from .camera import TILE
+
+    ty, tx = cam.tiles_y, cam.tiles_x
+    c = t.shape[1]
+    img = t.reshape(ty, tx, c, TILE, TILE).transpose(2, 0, 3, 1, 4)
+    img = img.reshape(c, ty * TILE, tx * TILE)
+    return img[:, : cam.height, : cam.width]
+
+
 def tile_pixel_valid(cam: Camera) -> jnp.ndarray:
     """[n_tiles, TILE*TILE] bool: True where the tile pixel lies inside the
     H x W image (False on the bottom/right tile-grid padding). Constant per

@@ -33,11 +33,12 @@ pair selection per window (ops/binning.py docstring).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.binning import build_bins
 from ..ops.camera import TILE, Camera
@@ -58,7 +59,22 @@ def tiles_per_shard(cam: Camera, n_dev: int) -> int:
     return -(-cam.n_tiles // n_dev)
 
 
-def _window_bins(packed, radius, depth, cam, rs, tpb):
+class PoseWindowBins(NamedTuple):
+    """Window bins for the FUSED POSE tracking path: per-shard pair order +
+    segment bounds only — the fused backward contracts pose Jacobians
+    in-kernel and never reads the reverse slot tables, so their inverse
+    sort is skipped per window (the sharded analogue of the single-chip
+    `reverse_tables=False` tracker rebins). All leaves sharded on their
+    leading (tile-window) axis over the "gauss" mesh axis."""
+
+    pair_gauss: jnp.ndarray   # [n_dev * buf_local] int32
+    tile_start: jnp.ndarray   # [n_dev * tpb] int32 (window-local starts)
+    tile_count: jnp.ndarray   # [n_dev * tpb] int32
+    n_pairs: jnp.ndarray      # [n_dev] int32
+    overflow: jnp.ndarray     # [n_dev] bool
+
+
+def _window_bins(packed, radius, depth, cam, rs, tpb, reverse_tables=True):
     """Shard-local window binning (call inside shard_map)."""
     from ..ops.pallas_composite import CHUNK
 
@@ -72,7 +88,7 @@ def _window_bins(packed, radius, depth, cam, rs, tpb):
     bins = build_bins(
         proj_l, cam, 0, rs.max_tiles_per_gaussian, align=CHUNK,
         d1=rs.bin_d1, big_frac=rs.bin_big_frac, d2_live=rs.bin_d2_live,
-        tile_lo=lo, n_local=tpb,
+        tile_lo=lo, n_local=tpb, reverse_tables=reverse_tables,
     )
     return lo, bins
 
@@ -100,6 +116,160 @@ def build_window_bins(proj: ProjectedGaussians, cam: Camera, mesh: Mesh, rs):
 
     return fn(jax.lax.stop_gradient(proj.packed), proj.radius,
               jax.lax.stop_gradient(proj.depth))
+
+
+def build_window_bins_pose(proj: ProjectedGaussians, cam: Camera,
+                           mesh: Mesh, rs) -> PoseWindowBins:
+    """Per-shard window bins for the fused pose tracking path — no reverse
+    slot tables (the fused backward never reads them; skipping their
+    inverse sort is the sharded analogue of the single-chip tracker's
+    reverse_tables=False rebins, -0.85 ms/build single-chip)."""
+    n_dev = mesh.devices.size
+    tpb = tiles_per_shard(cam, n_dev)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=tuple(P(GAUSS_AXIS) for _ in range(5)),
+        check_vma=False,
+    )
+    def fn(packed, radius, depth):
+        _, b = _window_bins(packed, radius, depth, cam, rs, tpb,
+                            reverse_tables=False)
+        return (b.pair_gauss, b.tile_start, b.tile_count,
+                jnp.atleast_1d(b.n_pairs), jnp.atleast_1d(b.overflow))
+
+    return PoseWindowBins(*fn(jax.lax.stop_gradient(proj.packed),
+                              proj.radius,
+                              jax.lax.stop_gradient(proj.depth)))
+
+
+def _pose_fwd_sharded(q, T, xyz, scales, rotations, opacity, shs, alive,
+                      pair_gauss, tile_start, tile_count, rs, mesh,
+                      nc, interpret):
+    """Replicated projection + Jacobian rows, then per-window fused-pose
+    forward walks under shard_map. Mirrors ops/render._pose_fwd_impl with
+    the one ICI all-gather at the packed32 boundary (its transpose is a
+    psum of the per-gaussian gradient partials — which the fused pose
+    backward never materializes, so the bwd pays only a [16] psum)."""
+    from ..ops.pallas_composite import _composite_pallas_fwd, pack_pairs
+    from ..ops.projection import conic_pose_jacobian_rows, project_gaussians
+    from ..ops.render import background, effective_scales, means_cam_soa
+
+    cam = rs.cam
+    scales_eff = effective_scales(scales, rs)
+    means_cam = means_cam_soa(xyz, jnp.concatenate([q, T]))
+    proj = project_gaussians(
+        means3d=means_cam, scales=scales_eff, rotations=rotations,
+        opacities=opacity, shs=shs, alive=alive,
+        w2c=jnp.eye(4, dtype=xyz.dtype), cam=cam,
+        sh_degree=rs.sh_degree, campos=jnp.zeros(3, dtype=xyz.dtype))
+    ext = conic_pose_jacobian_rows(means_cam, scales_eff, rotations, xyz, cam)
+    packed32 = jnp.concatenate([proj.packed, ext], axis=-1)
+    packed32 = jax.lax.with_sharding_constraint(
+        packed32, NamedSharding(mesh, P()))
+    n_dev = mesh.devices.size
+    tpb = tiles_per_shard(cam, n_dev)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(GAUSS_AXIS), P(GAUSS_AXIS), P(GAUSS_AXIS)),
+        out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+        check_vma=False,
+    )
+    def fwd(packed, pg, ts_, tc_):
+        idx = jax.lax.axis_index(GAUSS_AXIS)
+        lo = (idx * tpb).astype(jnp.int32)
+        pair_rows = pack_pairs(packed, pg)
+        return _composite_pallas_fwd(pair_rows, ts_, tc_, cam, interpret,
+                                     lo, tpb, True, nc)
+
+    acc, tfin = fwd(packed32, pair_gauss, tile_start, tile_count)
+    bg = background(rs)[:nc]
+    out = (acc + tfin * bg[None, :, None])[: cam.n_tiles]
+    return out, (packed32, acc, tfin, q)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _tiles_pose_sharded(q, T, xyz, scales, rotations, opacity, shs, alive,
+                        pair_gauss, tile_start, tile_count, rs, mesh,
+                        nc, interpret):
+    out, _ = _pose_fwd_sharded(q, T, xyz, scales, rotations, opacity, shs,
+                               alive, pair_gauss, tile_start, tile_count,
+                               rs, mesh, nc, interpret)
+    return out
+
+
+def _tps_fwd(q, T, xyz, scales, rotations, opacity, shs, alive, pair_gauss,
+             tile_start, tile_count, rs, mesh, nc, interpret):
+    out, res = _pose_fwd_sharded(q, T, xyz, scales, rotations, opacity, shs,
+                                 alive, pair_gauss, tile_start, tile_count,
+                                 rs, mesh, nc, interpret)
+    zshapes = tuple(jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        (xyz, scales, rotations, opacity, shs)))
+    return out, res + (pair_gauss, tile_start, tile_count, zshapes)
+
+
+def _tps_bwd(rs, mesh, nc, interpret, res, d_out):
+    """dq/dT from per-window fused-kernel partials: each shard contracts
+    its window's per-pair gradients against the packed pose Jacobians
+    in-register, sums to [16], and the 12 live numbers cross the ICI as
+    ONE psum — the cheapest possible collective for this gradient."""
+    from ..ops.pallas_composite import _composite_pose_bwd, pack_pairs
+    from ..ops.render import background
+    from ..ops.pose import quat_to_rotmat
+
+    packed32, acc, tfin, q, pair_gauss, tile_start, tile_count, zshapes = res
+    cam = rs.cam
+    n_dev = mesh.devices.size
+    tpb = tiles_per_shard(cam, n_dev)
+    bg = background(rs)[:nc]
+    pad = n_dev * tpb - cam.n_tiles
+    d_out_p = jnp.pad(d_out, ((0, pad), (0, 0), (0, 0)))
+    dacc = d_out_p
+    dtfin = jnp.sum(d_out_p * bg[None, :, None], axis=1, keepdims=True)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(),) + (P(GAUSS_AXIS),) * 7,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def bwd(packed, pg, ts_, tc_, acc_l, tfin_l, dacc_l, dtfin_l):
+        idx = jax.lax.axis_index(GAUSS_AXIS)
+        lo = (idx * tpb).astype(jnp.int32)
+        pair_rows = pack_pairs(packed, pg)
+        psums = _composite_pose_bwd(pair_rows, ts_, tc_, acc_l, tfin_l,
+                                    dacc_l, dtfin_l, cam, interpret, True,
+                                    nc, lo, tpb)
+        return jax.lax.psum(psums.sum(axis=(0, 2)), GAUSS_AXIS)
+
+    s = bwd(packed32, pair_gauss, tile_start, tile_count, acc, tfin,
+            dacc, dtfin)
+    dT = s[0:3]
+    M = s[3:12]
+    _, rvjp = jax.vjp(lambda qq: quat_to_rotmat(qq).reshape(9), q)
+    (dq,) = rvjp(M)
+    zeros = tuple(jnp.zeros(zs.shape, zs.dtype) for zs in zshapes)
+    return (dq, dT) + zeros + (None, None, None, None)
+
+
+_tiles_pose_sharded.defvjp(_tps_fwd, _tps_bwd)
+
+
+def render_tiles_pose_sharded(g, q, T, rs, bins: PoseWindowBins, mesh: Mesh,
+                              nc: int = 6, interpret: bool = False):
+    """Tile-sharded render_tiles_pose: same channel-major [n_tiles, nc, PIX]
+    forward, fused in-kernel pose gradients per tile window, ONE [16] psum
+    across shards. Same validity domain as the single-chip path
+    (transform_means_python + sh_degree 0)."""
+    assert rs.transform_means_python and rs.sh_degree == 0, (
+        "fused pose gradients require transform_means_python + sh_degree 0")
+    return _tiles_pose_sharded(q, T, g.xyz, g.scales, g.rotations, g.opacity,
+                               g.shs, g.alive, bins.pair_gauss,
+                               bins.tile_start, bins.tile_count, rs, mesh,
+                               nc, interpret)
 
 
 def composite_tiles_sharded(proj: ProjectedGaussians, cam: Camera,

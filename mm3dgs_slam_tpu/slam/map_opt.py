@@ -35,6 +35,7 @@ Reproduced reference semantics, including the quirks:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -56,6 +57,11 @@ from ..ops.losses import l1_loss, masked_mean, pearson_loss, ssim
 from ..ops.render import RenderSettings, background, project_for_pose
 
 _SEG_SIZES = (32, 16, 8, 4, 2, 1)  # binary decomposition of segment lengths
+
+# Import-time env default for the tile-layout mapping loss (the mapping
+# analogue of the tracker's MM3DGS_TRACK_TILES; production runs set the
+# MapOptSettings field from cfg.tpu.map_tiles in slam/mapper.py).
+_MAP_TILES_DEFAULT = os.environ.get("MM3DGS_MAP_TILES", "1") == "1"
 
 
 class MapOptSettings(NamedTuple):
@@ -83,6 +89,18 @@ class MapOptSettings(NamedTuple):
     mesh: object = None        # jax.sharding.Mesh: map rows sharded over
                                # "gauss"; projection output replicated (the
                                # ICI boundary); compositing replicated
+    map_tiles: bool = _MAP_TILES_DEFAULT
+                               # tile-layout mapping loss (single-chip
+                               # pallas only): walk only the channels the
+                               # loss reads (vigs rgb[,z] — sil/E[z^2] feed
+                               # nothing outside splatam, ref
+                               # mapper.py:856-874) channel-major, assemble
+                               # ONLY rgb for SSIM, evaluate L1 on the
+                               # 3-channel image and the Pearson depth term
+                               # in tile layout. The mapping analogue of
+                               # the tracker's measured track_tiles win.
+    interpret: bool = False    # pallas interpret mode (CPU parity tests of
+                               # the tiled path; compiled runs use False)
 
 
 class MapCarry(NamedTuple):
@@ -126,6 +144,68 @@ def _map_loss(
     )
     proj = proj._replace(xy=new_packed[:, 0:2], packed=new_packed)
     proj = replicate_proj(proj, ms.mesh)
+
+    from ..ops.binning import TileBins
+
+    if (rs.use_pallas and ms.mesh is None and ms.map_tiles
+            and isinstance(bins, TileBins) and bins.small_slots is not None):
+        # Tile-layout mapping loss (the mapping analogue of the tracker's
+        # measured tile-loss + channel-slim wins): the vigs mapping loss
+        # reads ONLY rgb (+ depth when the Pearson term is on) — silhouette
+        # and E[z^2] feed nothing outside splatam's tracker uncertainty
+        # (ref mapper.py:856-874) — so the kernel walks nc=3/4 channels
+        # channel-major, ONLY the 3 rgb channels are assembled to [3, H, W]
+        # (SSIM's windowed stats need the image; its backward shares the
+        # assembly transpose with L1's), and the Pearson depth term stays
+        # in tile layout (global masked reduction — same pixel set via
+        # tile_pixel_valid). Values match the image path up to fp
+        # summation order; dpacked keeps [N, 16] with exact-zero grads on
+        # the unwalked feature columns.
+        from ..ops.pallas_composite import _composite_packed
+        from ..ops.render import from_tiles, tile_pixel_valid, to_tiles
+
+        nc = 4 if (ms.method == "splatam" or ms.use_depth_estimate_loss) else 3
+        acc, tfin = _composite_packed(
+            proj.packed, bins.pair_gauss, bins.pair_valid, bins.small_slots,
+            bins.big_slots, bins.big_gauss, bins.big_valid, bins.gauss_rank,
+            bins.tile_start, bins.tile_count, rs.cam, ms.interpret,
+            rs.grad_bf16, None, None, True, nc,
+        )
+        bg = background(rs)[:nc]
+        out_t = acc + tfin * bg[None, :, None]   # [T, nc, PIX] chan-major
+        image = from_tiles(out_t[:, :3], rs.cam)
+
+        lam = ms.lambda_dssim
+        if ms.method == "splatam":
+            depth_t = out_t[:, 3]
+            valid = tile_pixel_valid(rs.cam)
+            gt_depth_t = to_tiles(gt_depth, rs.cam)
+            nan_mask = ~jnp.isnan(depth_t)
+            mask = (gt_depth_t > 0) & nan_mask & valid
+            loss_depth = masked_mean(jnp.abs(gt_depth_t - depth_t), mask)
+            loss_im = (1 - lam) * l1_loss(image, gt_color) + lam * (
+                1.0 - ssim(image, gt_color))
+            loss = loss_depth + 0.5 * loss_im
+        else:
+            loss = (1 - lam) * l1_loss(image, gt_color) + lam * (
+                1.0 - ssim(image, gt_color))
+            if ms.use_depth_estimate_loss:
+                depth_t = out_t[:, 3]
+                valid = tile_pixel_valid(rs.cam)
+                if ms.use_gt_depth:
+                    gt_depth_t = to_tiles(gt_depth, rs.cam)
+                    loss = loss + ms.pearson_weight * pearson_loss(
+                        depth_t, gt_depth_t,
+                        mask=(gt_depth_t > 0) & valid, invert_estimate=False
+                    )
+                else:
+                    est_depth_t = to_tiles(est_depth, rs.cam)
+                    loss = loss + ms.pearson_weight * pearson_loss(
+                        depth_t, est_depth_t, mask=valid,
+                        invert_estimate=False
+                    )
+        return loss, (proj.radius, proj.radius > 0)
+
     if rs.use_pallas and ms.mesh is not None:
         # tile-sharded composite over the mesh; `bins` is the window-bins
         # tuple (build_window_bins) cached across the segment, or None to
@@ -382,22 +462,31 @@ def optimize_map(
     schedule,                 # [iters] int indices into the K axis (host)
     camera_extent: jnp.ndarray,
     ms: MapOptSettings,
-) -> MapCarry:
+):
     """Host-level driver over jitted segments. The schedule must be host
     material (numpy or concrete jnp) — segment boundaries are compile-time.
     Opt segments run as a binary decomposition over power-of-two lengths so
-    the number of distinct jit shapes is bounded by len(_SEG_SIZES)."""
+    the number of distinct jit shapes is bounded by len(_SEG_SIZES).
+
+    Returns (carry, overflow): `overflow` ORs the real `bins.overflow` flag
+    over every rebin (device scalar, no host sync — the SLAM loop fetches it
+    once per frame; ops/binning.py documents what the flag covers)."""
+    from .tracker import bins_overflow
+
     sched = np.asarray(schedule)
+    overflow = jnp.asarray(False)
     for kind, k, base_i, n in plan_segments(sched, ms):
         kj = jnp.asarray(k, jnp.int32)
         if kind == "prune":
             bins = _map_bins(carry, kj, ms)
+            overflow = overflow | bins_overflow(bins)
             carry = _map_prune_step(
                 carry, bins, kj, jnp.asarray(base_i, jnp.int32), kf_colors,
                 kf_depths, kf_ests, camera_extent, ms,
             )
             continue
         bins = _map_bins(carry, kj, ms)
+        overflow = overflow | bins_overflow(bins)
         off = 0
         for size in _SEG_SIZES:
             while n - off >= size:
@@ -406,4 +495,4 @@ def optimize_map(
                     kf_colors, kf_depths, kf_ests, ms, size,
                 )
                 off += size
-    return carry
+    return carry, overflow

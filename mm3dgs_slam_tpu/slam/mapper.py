@@ -14,6 +14,7 @@ control flow):
 """
 from __future__ import annotations
 
+import time
 from collections import defaultdict, deque
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -95,6 +96,14 @@ class KeyframeStore:
 
 
 class Mapper:
+    def _env_else_cfg(self, env: str, key: str) -> bool:
+        """Explicitly-set env var wins (the A/B escape hatch, same
+        precedence as apply_tpu_env); otherwise cfg['tpu'] decides."""
+        import os
+
+        v = os.environ.get(env)
+        return v == "1" if v is not None else bool(self.cfg["tpu"][key])
+
     def __init__(self, cfg: dict, rs: RenderSettings, mesh=None):
         self.cfg = cfg
         self.rs = rs
@@ -116,6 +125,11 @@ class Mapper:
         self.rng = np.random.default_rng(cfg.get("seed", 0))
         self.mapping_time_sum = 0.0
         self.mapping_iter_count = 0
+        # per-frame wall decomposition (debug.frame_decomp): SLAM.__init__
+        # shares its dict + flag; phases end at host fetches so attribution
+        # is truthful through the async dispatch queue
+        self.decomp_on = False
+        self.decomp = defaultdict(float)
         self.last_n_added = 0
         self._last_added_mask = None  # mesh path: exact appended-row mask
 
@@ -147,6 +161,7 @@ class Mapper:
             hyper=G.MapOptHyper.from_cfg(mp),
             rebin_every=int(cfg["tpu"].get("map_rebin_every", 1)),
             mesh=mesh,
+            map_tiles=self._env_else_cfg("MM3DGS_MAP_TILES", "map_tiles"),
         )
         self.window_size = int(mp["kf_window_size"])
         # Optional TPU-side divergence from the reference's interleaved
@@ -168,7 +183,10 @@ class Mapper:
             )
 
         if mp["niqe_kf"]:
+            _t0 = time.perf_counter()
             score = self.quality(gt_color_np)
+            if self.decomp_on:
+                self.decomp["map.niqe"] += time.perf_counter() - _t0
             curr = KeyFrame(idx, gt_color_np, np.asarray(est_pose), gt_depth_np,
                             est_depth_np, score)
             # evict frames that left the window (mapper.py:126-132)
@@ -346,7 +364,16 @@ class Mapper:
         n_img: int,
     ):
         """One mapping step (mapper.py:952-1014). Returns (map, adam,
-        new_points_mask_or_None, updated_est_pose)."""
+        new_points_mask_or_None, updated_est_pose, binning_overflow) —
+        the last a [] bool device scalar ORing every rebin's real
+        `bins.overflow` flag (fetched once per frame by the SLAM loop)."""
+        def _ph(name: str, t0: float) -> float:
+            t1 = time.perf_counter()
+            if self.decomp_on:
+                self.decomp[name] += t1 - t0
+            return t1
+
+        t0 = time.perf_counter()
         g_act = m.activated()
         mp = self.cfg["mapping"]
         depth_for_init = gt_depth_dev if self.cfg["use_gt_depth"] else est_depth_dev
@@ -354,6 +381,7 @@ class Mapper:
         window = self.get_covisible_set(
             idx, g_act, est_pose, gt_depth_dev, N=mp["covisibility_level"]
         )
+        t0 = _ph("map.covis_set", t0)
 
         if self.max_radii.shape[0] != m.capacity:
             self.max_radii = jnp.zeros((m.capacity,), jnp.float32)
@@ -361,9 +389,18 @@ class Mapper:
             self.denom = jnp.zeros((m.capacity,), jnp.float32)
 
         new_vis_mask = None
-        if self.need_new_keyframe(
+        niqe_before = self.decomp["map.niqe"] if self.decomp_on else 0.0
+        is_new_kf = self.need_new_keyframe(
             idx, g_act, est_pose, gt_color_np, gt_depth_np, est_depth_np, n_img
-        ):
+        )
+        if self.decomp_on:
+            # NIQE seconds inside the call are booked to map.niqe; book the
+            # remainder (covisibility render + frac fetch) here
+            self.decomp["map.kf_decision"] += (
+                time.perf_counter() - t0
+                - (self.decomp["map.niqe"] - niqe_before))
+        t0 = time.perf_counter()
+        if is_new_kf:
             stats = new_gaussian_candidates(
                 g_act, jnp.asarray(est_pose), gt_color_dev, depth_for_init,
                 self.rs, first_frame=(idx == 0 and len(self.keyframes) == 0),
@@ -401,8 +438,12 @@ class Mapper:
             self.max_radii = jnp.zeros((m.capacity,), jnp.float32)
             self.grad_accum = jnp.zeros((m.capacity,), jnp.float32)
             self.denom = jnp.zeros((m.capacity,), jnp.float32)
+            if self.decomp_on:
+                jax.block_until_ready(m.xyz)
+            t0 = _ph("map.candidates", t0)
             self.add_keyframe(idx, est_pose, gt_color_np, gt_depth_np,
                               est_depth_np, m.activated())
+            t0 = _ph("map.add_keyframe", t0)
 
         # window rows in the device store; -1 (current frame) -> scratch row 0
         self.kf_store.set_row(0, gt_color_dev,
@@ -420,6 +461,9 @@ class Mapper:
         kf_poses = self.kf_store.poses[rows_arr]
 
         schedule = jnp.asarray(self._build_schedule(len(rows)), jnp.int32)
+        if self.decomp_on:
+            jax.block_until_ready(kf_colors)
+        t0 = _ph("map.window_upload", t0)
 
         cap = m.capacity
         ba_mask = jnp.ones((cap,), bool)
@@ -459,10 +503,14 @@ class Mapper:
             pose_step=jnp.asarray(0, jnp.int32),
             last_loss=jnp.asarray(0.0, jnp.float32),
         )
-        out = optimize_map(
+        t0 = _ph("map.ba_mask", t0)
+        out, map_overflow = optimize_map(
             carry, kf_colors, kf_depths, kf_ests, schedule,
             jnp.asarray(self.camera_extent, jnp.float32), self.opt_settings
         )
+        if self.decomp_on:
+            float(out.last_loss)  # host fetch ends the phase
+        t0 = _ph("map.optimize", t0)
         self.max_radii = out.max_radii
         self.grad_accum = out.grad_accum
         self.denom = out.denom
@@ -479,4 +527,4 @@ class Mapper:
                 )
             updated_pose = new_poses[len(window)]  # current frame slot
 
-        return out.m, out.adam, new_vis_mask, updated_pose
+        return out.m, out.adam, new_vis_mask, updated_pose, map_overflow

@@ -154,6 +154,13 @@ class SLAM:
             )
 
         tr = cfg["tracking"]
+
+        def _env_else_cfg(env: str, key: str) -> bool:
+            # explicitly-set env var wins (the A/B escape hatch, same
+            # precedence rule as apply_tpu_env); otherwise YAML decides
+            v = os.environ.get(env)
+            return v == "1" if v is not None else bool(tpu[key])
+
         self.track_settings = TrackSettings(
             rs=self.rs,
             iters=int(tr["iters"]),
@@ -168,6 +175,8 @@ class SLAM:
             rotation_lr=float(tr["rotation_lr"]),
             rebin_every=int(tpu.get("rebin_every", 1)),
             mesh=self.mesh,
+            track_tiles=_env_else_cfg("MM3DGS_TRACK_TILES", "track_tiles"),
+            pose_kernel=_env_else_cfg("MM3DGS_POSE_KERNEL", "pose_kernel"),
         )
         self.dyn_model = (tr["dynamics_model"] or "").lower() or None
 
@@ -191,8 +200,23 @@ class SLAM:
 
         self.tracking_time_sum = 0.0
         self.tracking_iter_count = 0
+        # "Average Rendering Time" (reference SLAM.py:150-195 prints it for
+        # its eval/video renders): accumulated around every render_eval call
         self.rendering_time_sum = 0.0
         self.rendering_iter_count = 0
+        # Real per-frame binning-overflow flags (ORs of bins.overflow over
+        # every rebin, fetched once per frame) — recorded in results.npz
+        self.binning_overflow_frames: list[int] = []
+        # Per-frame wall decomposition (debug.frame_decomp): phase -> total
+        # seconds. Phases end at a host fetch so attribution is truthful
+        # through the async dispatch queue (block_until_ready is unreliable
+        # through the axon tunnel; only host fetches are).
+        from collections import defaultdict
+
+        self.frame_decomp = defaultdict(float)
+        self._decomp_on = bool(self.cfg["debug"].get("frame_decomp"))
+        self.mapper.decomp_on = self._decomp_on
+        self.mapper.decomp = self.frame_decomp
 
     # ------------------------------------------------------------------
     def load_checkpoint(self, iteration: int):
@@ -356,7 +380,15 @@ class SLAM:
             self.save_map(last_idx)
             self.save_results(last_idx)
 
+    def _phase(self, name: str, t0: float) -> float:
+        """Accumulate a frame-decomposition phase; returns a fresh t0."""
+        t1 = time.perf_counter()
+        if self._decomp_on:
+            self.frame_decomp[name] += t1 - t0
+        return t1
+
     def _step(self, idx: int):
+        t0 = time.perf_counter()
         gt_color_np, gt_depth_np, _, gt_c2w, imu_meas = self._frames[idx]
         gt_depth_np = gt_depth_np[..., 0]
         gt_w2c = np.linalg.inv(gt_c2w)
@@ -364,6 +396,7 @@ class SLAM:
 
         gt_color = jnp.asarray(gt_color_np, jnp.float32)
         gt_depth = jnp.asarray(gt_depth_np, jnp.float32)
+        t0 = self._phase("data", t0)
 
         est_depth = None
         est_depth_scaled = None
@@ -373,7 +406,9 @@ class SLAM:
                 self.dpt.gt_depth = gt_depth_np
             est_depth_np = self.dpt.estimate_depth(gt_color_np)
             est_depth = jnp.asarray(est_depth_np, jnp.float32)
+            t0 = self._phase("depth_est", t0)
 
+        track_overflow = jnp.asarray(False)
         # --- Tracking --------------------------------------------------
         if idx == 0:
             self.estimate_pose_list[idx] = np.asarray(
@@ -386,7 +421,7 @@ class SLAM:
         else:
             seed = self._seed_pose(idx, imu_meas)
             t0 = time.perf_counter()
-            pose, _loss = track_frame(
+            pose, _loss, track_overflow = track_frame(
                 self.gaussians.activated(),
                 jnp.asarray(seed, jnp.float32),
                 gt_color,
@@ -399,10 +434,14 @@ class SLAM:
                 self.tracking_time_sum += time.perf_counter() - t0
                 self.tracking_iter_count += self.track_settings.iters
             self.estimate_pose_list[idx] = pose
+        t0 = self._phase("track", t0)
 
         # --- Depth-estimate scaling ------------------------------------
         if not self.use_gt_depth:
             est_depth_scaled = self._fit_est_depth(idx, est_depth, gt_depth)
+            if self._decomp_on:
+                float(est_depth_scaled[0, 0])  # host fetch ends the phase
+            t0 = self._phase("depth_fit", t0)
 
         # --- Mapping ---------------------------------------------------
         if idx == 0:
@@ -410,7 +449,7 @@ class SLAM:
             self.mapper.camera_extent = self.get_scene_radius(ref_depth)
 
         t0 = time.perf_counter()
-        m, adam, new_vis_mask, upd_pose = self.mapper.run_frame(
+        m, adam, new_vis_mask, upd_pose, map_overflow = self.mapper.run_frame(
             idx, self.gaussians, self.adam,
             self.estimate_pose_list[idx],
             gt_color, gt_depth, est_depth_scaled,
@@ -423,10 +462,12 @@ class SLAM:
             self.mapper.mapping_iter_count += self.mapper.num_iter
         self.gaussians, self.adam = m, adam
         self.estimate_pose_list[idx] = upd_pose
+        t0 = time.perf_counter()
 
         # --- Binning-cap surfacing (one scalar fetch per frame) ---------
         if self.cfg["tpu"]["check_overflow"]:
-            self._check_binning_overflow(idx)
+            self._check_binning_overflow(idx, track_overflow | map_overflow)
+        t0 = self._phase("overflow_check", t0)
 
         # --- Logging ---------------------------------------------------
         self.gt_pose_list[idx] = np.asarray(
@@ -434,14 +475,29 @@ class SLAM:
         )
         if self.video_writer is not None and idx > 0:
             self._write_video_frame(idx, gt_color_np, gt_depth_np, est_depth_scaled)
+        self._phase("logging", t0)
 
     # ------------------------------------------------------------------
-    def _check_binning_overflow(self, idx: int):
+    def _check_binning_overflow(self, idx: int, run_overflow=None):
         """Warn when the scene approaches/breaches the static binning caps
         (ops/binning.py tiers) — silent truncation degrades quality with no
-        other signal. One cheap dispatch + scalar fetch per frame."""
+        other signal. Two parts:
+
+        * `run_overflow`: the EXACT per-frame flag — the OR of every real
+          `bins.overflow` computed inside the frame's tracking/mapping
+          rebins (covers rect truncation, big-tier cap, `bin_d2_live`
+          truncation and the aligned-buffer `pair_cap` clamp,
+          ops/binning.py:442-507). One scalar fetch; breached frame indices
+          are recorded in results.npz["binning_overflow_frames"].
+        * predictive diagnostics from a fresh projection (which cap is
+          close/over, for the remedy hint) — approximate, advisory only.
+        """
         from ..ops.binning import binning_diagnostics
         from ..ops.render import project_for_pose
+
+        breached = run_overflow is not None and bool(run_overflow)
+        if breached:
+            self.binning_overflow_frames.append(idx)
 
         proj = project_for_pose(
             self.gaussians.activated(),
@@ -455,26 +511,47 @@ class SLAM:
         cap = self.gaussians.capacity
         big_cap = max(cap // self.rs.bin_big_frac, 1)
         d2 = max(self.rs.max_tiles_per_gaussian, d1)
+        hinted = False
         if max_rect > d2:
+            hinted = True
             print(f"[binning] WARNING frame {idx}: a Gaussian covers "
                   f"{max_rect} tiles > max_tiles_per_gaussian={d2}; its pair "
                   f"list is truncated (raise tpu.max_tiles_per_gaussian or "
                   f"tighten pruning size_threshold)")
         if n_big > big_cap:
+            hinted = True
             print(f"[binning] WARNING frame {idx}: {n_big} Gaussians exceed "
                   f"the {d1}-tile small tier but big-tier capacity is "
                   f"{big_cap}; overflow pairs are dropped (raise "
                   f"tpu.bin_d1 or lower tpu.bin_big_frac)")
         if n_pairs > self.rs.pair_cap:
+            hinted = True
             print(f"[binning] WARNING frame {idx}: {n_pairs} pairs exceed "
                   f"tpu.pair_cap={self.rs.pair_cap}")
+        if breached and not hinted:
+            # the exact flag fired but no coarse diagnostic crossed its cap:
+            # the breach is d2_live truncation or the aligned-buffer clamp
+            print(f"[binning] WARNING frame {idx}: a rebin set its overflow "
+                  f"flag (bin_d2_live={self.rs.bin_d2_live} live-tile "
+                  f"truncation or pair_cap={self.rs.pair_cap} aligned-buffer "
+                  f"clamp); pairs were dropped — raise tpu.bin_d2_live / "
+                  f"tpu.pair_cap")
 
     def render_eval(self, idx: int):
+        """One no-grad eval/video render, timed into the "Average Rendering
+        Time" stat (reference SLAM.py:150-195 wraps its render() the same
+        way). The host fetch below is what makes the timing truthful
+        through the async queue — eval renders are host-consumed anyway."""
+        t0 = time.perf_counter()
         out = render(
             self.gaussians.activated(),
             jnp.asarray(self.estimate_pose_list[idx], jnp.float32),
             self.rs,
         )
+        out["render"] = np.asarray(out["render"])
+        out["depth"] = np.asarray(out["depth"])
+        self.rendering_time_sum += time.perf_counter() - t0
+        self.rendering_iter_count += 1
         return out
 
     def evaluate_images(self, last_idx: int):
@@ -571,10 +648,35 @@ class SLAM:
         if self.cfg["debug"]["get_runtime_stats"]:
             t_it = self.tracking_time_sum / max(self.tracking_iter_count, 1)
             m_it = self.mapper.mapping_time_sum / max(self.mapper.mapping_iter_count, 1)
+            r_it = self.rendering_time_sum / max(self.rendering_iter_count, 1)
             print(f"\nAverage Tracking/Iteration Time: {t_it * 1000} ms")
             print(f"Average Mapping/Iteration Time: {m_it * 1000} ms")
+            # eval/video renders (reference SLAM.py:150-195's stat)
+            print(f"Average Rendering Time: {r_it * 1000} ms")
             results["avg_tracking_it_time"] = t_it * 1000
             results["avg_mapping_it_time"] = m_it * 1000
+            results["avg_rendering_time"] = r_it * 1000
+
+        # exact binning-cap breaches (frame indices; see
+        # _check_binning_overflow) — the golden table's warning counts are a
+        # tracked metric, not just console noise
+        results["binning_overflow_frames"] = np.asarray(
+            self.binning_overflow_frames, np.int64
+        )
+
+        if self._decomp_on and last_idx > 0:
+            print(f"\nPer-frame wall decomposition (debug.frame_decomp, "
+                  f"mean over {last_idx} frames):")
+            total = 0.0
+            for name in sorted(self.frame_decomp,
+                               key=self.frame_decomp.get, reverse=True):
+                v = self.frame_decomp[name] / last_idx
+                total += v
+                print(f"  {name:<24s} {v * 1000:>10.1f} ms/frame")
+            print(f"  {'(sum)':<24s} {total * 1000:>10.1f} ms/frame")
+            results["frame_decomp"] = np.array(
+                dict(self.frame_decomp), dtype=object
+            )
 
         np.savez(os.path.join(self.output, "results"), **results)
         print("Results saved to " + os.path.join(self.output, "results.npz"))

@@ -29,6 +29,7 @@ Faithful semantics:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -36,6 +37,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.binning import TileBins
+
+# Import-time env defaults for the two path-selection knobs (the
+# A/B-measurement escape hatch). Resolved ONCE so two independently-jitted
+# functions (_track_bins / _track_segment) can never trace inconsistent
+# decisions from a mid-process env flip; production runs override them per
+# TrackSettings from cfg.tpu (slam/slam.py), probes pass the fields
+# explicitly.
+_POSE_KERNEL_DEFAULT = os.environ.get("MM3DGS_POSE_KERNEL", "1") == "1"
+_TRACK_TILES_DEFAULT = os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
 from ..ops.losses import masked_mean, masked_sum, pearson_loss, rel_pose_loss
 from ..ops.render import (ActivatedGaussians, RenderSettings, render,
                           render_tiles, tile_pixel_valid, to_tiles)
@@ -68,6 +78,16 @@ class TrackSettings(NamedTuple):
                                     # projection output is constrained
                                     # replicated (the ICI all-gather
                                     # boundary), compositing runs replicated
+    track_tiles: bool = _TRACK_TILES_DEFAULT
+                                    # tile-layout tracking loss (skips the
+                                    # [NC,H,W] assembly; −1.1 ms/iter on v5e)
+    pose_kernel: bool = _POSE_KERNEL_DEFAULT
+                                    # fused in-kernel pose gradients (no
+                                    # per-pair emission / slot-table reduce;
+                                    # −4.9 ms/iter); auto-gated on
+                                    # transform_means_python + sh_degree 0 +
+                                    # single-device pallas (see
+                                    # _pose_fused_static)
 
 
 def tracking_loss(
@@ -149,10 +169,19 @@ def tracking_loss_tiles(
         # in-register instead of emitting dpair + slot-table reducing
         # (measured -4.9 ms/iter, 16.0 -> 11.1, probe_pose_kernel.py;
         # the CUDA w-pose rasterizer's in-kernel viewmatrix grads are
-        # the same structural move).
-        from ..ops.render import render_tiles_pose
+        # the same structural move). Under a mesh the same kernel runs per
+        # tile window and the 12 live pose numbers cross the ICI as ONE
+        # [16] psum (parallel/tile_sharded.render_tiles_pose_sharded).
+        if ts.mesh is not None:
+            from ..parallel.tile_sharded import render_tiles_pose_sharded
 
-        out6 = render_tiles_pose(g, pose[:4], pose[4:], ts.rs, bins, nc=nc)
+            out6 = render_tiles_pose_sharded(g, pose[:4], pose[4:], ts.rs,
+                                             bins, ts.mesh, nc=nc)
+        else:
+            from ..ops.render import render_tiles_pose
+
+            out6 = render_tiles_pose(g, pose[:4], pose[4:], ts.rs, bins,
+                                     nc=nc)
     else:
         out6 = render_tiles(g, pose, ts.rs, bins, nc=nc)
     image = out6[:, :3]
@@ -188,15 +217,16 @@ def tracking_loss_tiles(
 
 def _pose_fused_static(ts: TrackSettings) -> bool:
     """True when the segment will take the fused pose-kernel path
-    (render_tiles_pose): every term is trace-time static, so _track_bins
-    and _track_segment can share the decision — the fused backward never
-    reads the reverse slot tables, so the tracker's rebins skip building
-    them (-0.85 ms/build, scripts/probe_bins_cost2.py)."""
-    import os as _os
+    (render_tiles_pose): every term is a static TrackSettings/RenderSettings
+    field, so _track_bins and _track_segment share one immutable decision —
+    the fused backward never reads the reverse slot tables, so the tracker's
+    rebins skip building them (-0.85 ms/build, scripts/probe_bins_cost2.py).
 
-    return (_os.environ.get("MM3DGS_POSE_KERNEL", "1") == "1"
-            and _os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
-            and ts.mesh is None and ts.rs.use_pallas
+    Mesh-compatible since round 5: under a mesh the fused backward runs per
+    tile window with a single [16] psum (render_tiles_pose_sharded), so the
+    gate no longer requires mesh is None."""
+    return (ts.pose_kernel and ts.track_tiles
+            and ts.rs.use_pallas
             and not ts.rs.use_oracle
             and ts.rs.transform_means_python and ts.rs.sh_degree == 0)
 
@@ -209,10 +239,15 @@ def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     rs = ts.rs
     proj = project_for_pose(g, jax.lax.stop_gradient(pose), rs)
     if ts.mesh is not None and rs.use_pallas:
-        # tile-sharded: per-shard window bins (the sharded bins cache)
+        # tile-sharded: per-shard window bins (the sharded bins cache);
+        # the fused pose path builds the table-free variant
+        proj = replicate_proj(proj, ts.mesh)
+        if _pose_fused_static(ts):
+            from ..parallel.tile_sharded import build_window_bins_pose
+
+            return build_window_bins_pose(proj, rs.cam, ts.mesh, rs)
         from ..parallel.tile_sharded import build_window_bins
 
-        proj = replicate_proj(proj, ts.mesh)
         return build_window_bins(proj, rs.cam, ts.mesh, rs)
     align = 0
     if rs.use_pallas:
@@ -250,17 +285,19 @@ def _track_segment(
     + its backward measured 1.1 ms/iter FASTER on v5e (18.78 vs 19.89,
     bisect_seg 2026-08-19). An earlier [T, PIX, 6] variant was 1.3 ms/iter
     slower (NC=6 on the minor dim lane-padded every loss op ~21x) — that
-    layout is gone. MM3DGS_TRACK_TILES=0 restores the image-assembly path
-    (parity-tested in test_tracker_tiles.py); values match up to fp
-    summation order."""
-    import os as _os
+    layout is gone. ts.track_tiles=False (cfg tpu.track_tiles, env default
+    MM3DGS_TRACK_TILES) restores the image-assembly path (parity-tested);
+    values match up to fp summation order."""
+    from ..parallel.tile_sharded import PoseWindowBins
 
-    pose_fused = _pose_fused_static(ts) and isinstance(bins, TileBins)
+    pose_fused = _pose_fused_static(ts) and isinstance(
+        bins, PoseWindowBins if ts.mesh is not None else TileBins)
     # the fused pose path never touches the reverse slot tables (so
-    # _track_bins skips building them: bins.small_slots is None then);
-    # the general tile path's pack backward requires them
+    # _track_bins skips building them: bins.small_slots is None
+    # single-chip, PoseWindowBins under the mesh); the general tile path's
+    # pack backward requires them
     tiled = pose_fused or (
-        _os.environ.get("MM3DGS_TRACK_TILES", "1") == "1"
+        ts.track_tiles
         and ts.mesh is None and ts.rs.use_pallas
         and not ts.rs.use_oracle
         and isinstance(bins, TileBins) and bins.small_slots is not None)
@@ -306,6 +343,20 @@ def _track_segment(
     return jax.lax.fori_loop(0, n_iters, body, carry)
 
 
+def bins_overflow(bins) -> jnp.ndarray:
+    """[] bool: the build's REAL overflow flag (rect truncation, big-tier
+    cap, d2_live truncation, aligned-buffer clamp — ops/binning.py) for a
+    single-chip TileBins, a PoseWindowBins, or a window-bins tuple
+    (build_window_bins)."""
+    if isinstance(bins, TileBins):
+        return bins.overflow
+    from ..parallel.tile_sharded import _BIN_FIELDS, PoseWindowBins
+
+    if isinstance(bins, PoseWindowBins):
+        return jnp.any(bins.overflow)
+    return jnp.any(bins[_BIN_FIELDS.index("overflow")])
+
+
 def track_frame(
     g: ActivatedGaussians,
     pose_init: jnp.ndarray,
@@ -314,7 +365,10 @@ def track_frame(
     est_depth: jnp.ndarray,
     ts: TrackSettings,
 ):
-    """Optimize the pose for `ts.iters` Adam steps. Returns (pose, last_loss).
+    """Optimize the pose for `ts.iters` Adam steps. Returns
+    (pose, last_loss, overflow) — `overflow` ORs the real `bins.overflow`
+    flag over every rebin (a device scalar: no host sync here; the SLAM
+    loop fetches it once per frame).
 
     The map `g` is frozen (gradients flow only to the pose). Host-level
     driver: one jitted segment per `rebin_every` block, bins rebuilt
@@ -328,11 +382,13 @@ def track_frame(
     z4 = jnp.zeros_like(q0)
     z3 = jnp.zeros_like(T0)
     carry = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
+    overflow = jnp.asarray(False)
 
     i = 0
     while i < ts.iters:
         pose = pose_init if i == 0 else jnp.concatenate([carry[0], carry[1]])
         bins = _track_bins(g, pose, ts)
+        overflow = overflow | bins_overflow(bins)
         n = min(rebin, ts.iters - i)
         carry = _track_segment(
             g, carry, bins, jnp.asarray(i, jnp.int32), gt_color, gt_depth,
@@ -341,4 +397,4 @@ def track_frame(
         i += n
 
     q, T, *_, loss = carry
-    return jnp.concatenate([q, T]), loss
+    return jnp.concatenate([q, T]), loss, overflow

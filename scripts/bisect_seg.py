@@ -66,14 +66,11 @@ def main():
     z4, z3 = jnp.zeros(4), jnp.zeros(3)
     zdep = jnp.zeros((480, 640), jnp.float32)
 
-    def run(tag, gbf16, rebin=N_ITERS):
-        # rebin_every is unused inside _track_segment — varying it only
-        # forces a fresh trace (so an env-knob flip is actually seen
-        # instead of hitting the jit cache)
+    def run(tag, gbf16, rebin=N_ITERS, track_tiles=True):
         ts = TrackSettings(rs=rs._replace(grad_bf16=gbf16), iters=N_ITERS,
                            method="vigs", use_gt_depth=True,
                            position_lr=0.001, rotation_lr=0.003,
-                           rebin_every=rebin)
+                           rebin_every=rebin, track_tiles=track_tiles)
 
         def seg(s):
             carry = (base[:4] * s, base[4:], z4, z4, z3, z3,
@@ -97,16 +94,8 @@ def main():
         run("track seg f32 ", False)
         # image-assembly loss path (the pre-round-3 default; tile layout is
         # now the default after it measured 1.1 ms/iter faster on
-        # chan-major)
-        prev = os.environ.get("MM3DGS_TRACK_TILES")
-        os.environ["MM3DGS_TRACK_TILES"] = "0"
-        try:
-            run("track seg IMG ", False, rebin=N_ITERS + 1)
-        finally:
-            if prev is None:
-                del os.environ["MM3DGS_TRACK_TILES"]
-            else:
-                os.environ["MM3DGS_TRACK_TILES"] = prev
+        # chan-major) — track_tiles is a TrackSettings field (round 5)
+        run("track seg IMG ", False, track_tiles=False)
 
     if os.environ.get("MM3DGS_SEG_ONLY") == "track":
         return

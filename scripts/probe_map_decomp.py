@@ -66,6 +66,11 @@ def main():
             last_loss=jnp.asarray(0.0, jnp.float32),
         )
 
+    # round-5 A/B: tile-layout mapping loss (nc=3 walk + rgb-only assembly)
+    # vs the image path (nc=6 walk + [6,H,W] assembly)
+    ms_img = ms._replace(map_tiles=False)
+    ms_til = ms._replace(map_tiles=True)
+
     k0 = jnp.asarray(0, jnp.int32)
     base_i = jnp.asarray(1, jnp.int32)
     c1 = carry(1)
@@ -85,8 +90,10 @@ def main():
 
     from mm3dgs_slam_tpu.models.gaussians import _PARAM_FIELDS
 
-    @jax.jit
-    def fwd_only(c, n_alive):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("msv",))
+    def fwd_only(c, n_alive, msv):
         """Forward-only chained loop: each iteration's loss perturbs the
         pose of the next, so XLA cannot collapse the loop and the remote
         layer cannot dedupe."""
@@ -98,33 +105,38 @@ def main():
             tot, pose = acc
             loss, _ = _map_loss(params, screen0, pose, n_alive,
                                 kf_colors[0], kf_depths[0], kf_ests[0],
-                                bins, ms)
+                                bins, msv)
             return tot + loss, pose.at[4].add(loss * 1e-12)
 
         tot, _ = jax.lax.fori_loop(
             0, N_ITERS, body, (jnp.float32(0.0), c.kf_poses[0]))
         return tot
 
-    times = {"A_full": [], "B_fwd": [], "C_bins": []}
-    for rep in range(REPS):
+    times = {"A_img": [], "A_til": [], "B_img": [], "B_til": [],
+             "C_bins": []}
+
+    def seg(rep, msv):
         c = carry(rep + 1)
         t0 = time.perf_counter()
         outc = _map_segment(c, bins, k0, base_i, kf_colors, kf_depths,
-                            kf_ests, ms, N_ITERS)
+                            kf_ests, msv, N_ITERS)
         float(outc.last_loss)
-        dt = time.perf_counter() - t0
-        if rep:
-            times["A_full"].append(dt)
-        print(f"rep {rep} A_full: {dt / N_ITERS * 1e3:.2f} ms/iter")
+        return time.perf_counter() - t0
 
+    def fwd(rep, msv):
         c = carry(rep + 1)
         t0 = time.perf_counter()
-        tot = fwd_only(c, c.m.n_alive)
-        float(tot)
-        dt = time.perf_counter() - t0
-        if rep:
-            times["B_fwd"].append(dt)
-        print(f"rep {rep} B_fwd: {dt / N_ITERS * 1e3:.2f} ms/iter")
+        float(fwd_only(c, c.m.n_alive, msv))
+        return time.perf_counter() - t0
+
+    for rep in range(REPS):
+        for name, fn, msv in (("A_img", seg, ms_img), ("A_til", seg, ms_til),
+                              ("B_img", fwd, ms_img), ("B_til", fwd, ms_til)):
+            dt = fn(rep, msv)
+            if rep:
+                times[name].append(dt)
+            print(f"rep {rep} {name}: {dt / N_ITERS * 1e3:.2f} ms/iter",
+                  flush=True)
 
         c = carry(rep + 1)
         t0 = time.perf_counter()
@@ -133,7 +145,7 @@ def main():
         dt = time.perf_counter() - t0
         if rep:
             times["C_bins"].append(dt)
-        print(f"rep {rep} C_bins: {dt * 1e3:.2f} ms/build")
+        print(f"rep {rep} C_bins: {dt * 1e3:.2f} ms/build", flush=True)
 
     for name, ts in times.items():
         med = sorted(ts)[len(ts) // 2]

@@ -46,12 +46,13 @@ def main():
     zdep = jnp.zeros((480, 640), jnp.float32)
 
     def run(tag, fused, rebin):
-        os.environ["MM3DGS_POSE_KERNEL"] = "1" if fused else "0"
-        # rebin_every is unused inside _track_segment — varying it forces a
-        # fresh trace so the env flip is seen instead of the jit cache
+        # pose_kernel is a TrackSettings field now (round 5) — flipping it
+        # changes the settings hash, so no rebin_every trace-forcing tricks
+        # or env flips are needed
         ts = TrackSettings(rs=rs, iters=N_ITERS, method="vigs",
                            use_gt_depth=True, position_lr=0.001,
-                           rotation_lr=0.003, rebin_every=rebin)
+                           rotation_lr=0.003, rebin_every=rebin,
+                           pose_kernel=fused)
 
         def seg(s):
             carry = (base[:4] * s, base[4:], z4, z4, z3, z3,

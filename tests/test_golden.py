@@ -11,9 +11,23 @@ import os
 import numpy as np
 import pytest
 
+
+def _backend_is_tpu() -> bool:
+    # Evaluated lazily at collection time (conftest may have forced CPU):
+    # the golden gate requires BOTH the env opt-in AND real TPU hardware —
+    # otherwise `MM3DGS_GOLDEN=1 pytest tests/ -x -q` (or -k golden) would
+    # run the hours-long full budget at CPU speed under the CPU suite's
+    # precision=highest override, diverging from the production CLI this
+    # test regression-locks.
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 pytestmark = pytest.mark.skipif(
-    os.environ.get("MM3DGS_GOLDEN") != "1",
-    reason="golden run is slow; set MM3DGS_GOLDEN=1 to enable",
+    os.environ.get("MM3DGS_GOLDEN") != "1" or not _backend_is_tpu(),
+    reason="golden run needs MM3DGS_GOLDEN=1 AND a real TPU backend "
+           "(conftest forces CPU unless the invocation targets test_golden)",
 )
 
 

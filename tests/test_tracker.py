@@ -34,9 +34,10 @@ def test_tracker_recovers_jittered_pose():
         use_depth_estimate_loss=False, pearson_weight=0.0,
         position_lr=0.002, rotation_lr=0.002,
     )
-    pose, loss = track_frame(g, jitter, gt_color, gt_depth,
-                             jnp.zeros_like(gt_depth), ts)
+    pose, loss, overflow = track_frame(g, jitter, gt_color, gt_depth,
+                                       jnp.zeros_like(gt_depth), ts)
     pose = np.asarray(pose)
+    assert not bool(overflow)
 
     t_err0 = np.linalg.norm(np.asarray(jitter)[4:])
     t_err = np.linalg.norm(pose[4:] - np.asarray(gt_pose)[4:])
