@@ -212,6 +212,14 @@ class NewGaussians(NamedTuple):
 
 
 @jax.jit
+def activate(m: GaussianMap) -> ActivatedGaussians:
+    """Jitted `m.activated()` for HOST call sites: eagerly, each of its ~8
+    ops is a separate ~30 ms tunnel round trip (round-5 golden
+    decomposition); inside jitted consumers use `.activated()` directly."""
+    return m.activated()
+
+
+@jax.jit
 def append_gaussians(
     m: GaussianMap, state: AdamState, new: NewGaussians
 ) -> tuple[GaussianMap, AdamState, jnp.ndarray]:

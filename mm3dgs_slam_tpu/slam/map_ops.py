@@ -8,6 +8,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gaussians import GaussianMap, NewGaussians
 from ..ops.camera import Camera
@@ -88,12 +89,34 @@ def covisibility_fractions_batch(
     k = candidate_poses.shape[0]
     kp = -(-k // 8) * 8
     if kp > k:
-        pad = jnp.tile(
-            jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], candidate_poses.dtype)[None],
+        # pad on whichever host/device side the input lives: numpy inputs
+        # pad for free on the host (no eager device dispatches)
+        xp = np if isinstance(candidate_poses, np.ndarray) else jnp
+        pad = xp.tile(
+            xp.asarray([1.0, 0, 0, 0, 0, 0, 0], candidate_poses.dtype)[None],
             (kp - k, 1),
         )
-        candidate_poses = jnp.concatenate([candidate_poses, pad])
+        candidate_poses = xp.concatenate([candidate_poses, pad])
     return _covis_fractions_jit(pts, valid, candidate_poses, cam, edge)[:k]
+
+
+@partial(jax.jit, static_argnames=("rs",))
+def covis_check_last_kf(g, last_pose, est_pose, rs):
+    """need_new_keyframe's covisibility test (mapper.py:141-167) fused into
+    ONE dispatch: render last KF depth/sil -> world points -> fraction
+    visible from the current estimated pose."""
+    depth, sil, _ = render_depth_sil.__wrapped__(g, last_pose, rs)
+    pts, valid = keyframe_world_points.__wrapped__(depth, sil, last_pose,
+                                                   rs.cam)
+    return covisibility_fraction.__wrapped__(pts, valid, est_pose, rs.cam, 0)
+
+
+@partial(jax.jit, static_argnames=("rs",))
+def kf_world_points(g, pose, rs):
+    """Fused render_depth_sil + keyframe_world_points (one dispatch) for
+    the covisibility-graph update (mapper.py:242-277)."""
+    depth, sil, _ = render_depth_sil.__wrapped__(g, pose, rs)
+    return keyframe_world_points.__wrapped__(depth, sil, pose, rs.cam)
 
 
 class NewGaussianStats(NamedTuple):

@@ -473,26 +473,39 @@ def optimize_map(
     once per frame; ops/binning.py documents what the flag covers)."""
     from .tracker import bins_overflow
 
+    # Host glue is DISPATCH-COUNT-optimized (round-5): segment indices ride
+    # the jitted calls as numpy scalars (no eager `jnp.asarray` round trips)
+    # and the per-rebin overflow flags are OR-reduced in ONE fused dispatch
+    # at the end instead of an eager `|` per rebin.
     sched = np.asarray(schedule)
-    overflow = jnp.asarray(False)
+    flags = []
     for kind, k, base_i, n in plan_segments(sched, ms):
-        kj = jnp.asarray(k, jnp.int32)
+        kj = np.int32(k)
         if kind == "prune":
             bins = _map_bins(carry, kj, ms)
-            overflow = overflow | bins_overflow(bins)
+            flags.append(bins_overflow(bins))
             carry = _map_prune_step(
-                carry, bins, kj, jnp.asarray(base_i, jnp.int32), kf_colors,
+                carry, bins, kj, np.int32(base_i), kf_colors,
                 kf_depths, kf_ests, camera_extent, ms,
             )
             continue
         bins = _map_bins(carry, kj, ms)
-        overflow = overflow | bins_overflow(bins)
+        flags.append(bins_overflow(bins))
         off = 0
         for size in _SEG_SIZES:
             while n - off >= size:
                 carry = _map_segment(
-                    carry, bins, kj, jnp.asarray(base_i + off, jnp.int32),
+                    carry, bins, kj, np.int32(base_i + off),
                     kf_colors, kf_depths, kf_ests, ms, size,
                 )
                 off += size
-    return carry, overflow
+    return carry, _or_flags(tuple(flags))
+
+
+@jax.jit
+def _or_flags(flags):
+    """OR-reduce the per-rebin overflow flags in one dispatch."""
+    out = flags[0]
+    for f in flags[1:]:
+        out = out | f
+    return out

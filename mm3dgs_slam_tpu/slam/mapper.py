@@ -28,14 +28,34 @@ from ..models import gaussians as G
 from ..ops.render import RenderSettings
 from .map_opt import MapCarry, MapOptSettings, optimize_map
 from .map_ops import (
+    covis_check_last_kf,
     covisibility_fraction,
-    keyframe_world_points,
     covisibility_fractions_batch,
+    keyframe_world_points,
+    kf_world_points,
     new_gaussian_candidates,
     render_depth_sil,
 )
 
 KF_STORE_QUANTUM = 64
+
+
+@jax.jit
+def _gather_window(colors, depths, ests, poses, rows_arr):
+    """Fused window gather (+ the carry's pose-moment zeros): one dispatch
+    instead of 6 eager ops per frame."""
+    kp = poses[rows_arr]
+    return (colors[rows_arr], depths[rows_arr], ests[rows_arr], kp,
+            jnp.zeros_like(kp), jnp.zeros_like(kp))
+
+
+@jax.jit
+def _store_set_row(colors, depths, ests, poses, row, color, depth, est, pose):
+    """Fused keyframe-store row write: ONE dispatch instead of ~6 eager ops
+    (each eager op is a separate ~30 ms tunnel round trip — round-5 golden
+    decomposition). Runs every frame for the current-frame scratch row."""
+    return (colors.at[row].set(color), depths.at[row].set(depth),
+            ests.at[row].set(est), poses.at[row].set(pose))
 
 
 @dataclass
@@ -76,17 +96,17 @@ class KeyframeStore:
         self.ests = pad(self.ests, (h, w))
         self.poses = pad(self.poses, (7,))
         self.capacity = new_cap
+        self._zeros_hw = jnp.zeros((h, w), jnp.float32)
 
     def set_row(self, row: int, color, depth, est, pose):
         if row >= self.capacity:
             self._grow(self.capacity + KF_STORE_QUANTUM)
-        self.colors = self.colors.at[row].set(jnp.asarray(color))
-        z = jnp.zeros((self.h, self.w), jnp.float32)
-        self.depths = self.depths.at[row].set(
-            z if depth is None else jnp.asarray(depth)
+        z = self._zeros_hw
+        self.colors, self.depths, self.ests, self.poses = _store_set_row(
+            self.colors, self.depths, self.ests, self.poses, np.int32(row),
+            color, z if depth is None else depth, z if est is None else est,
+            pose,
         )
-        self.ests = self.ests.at[row].set(z if est is None else jnp.asarray(est))
-        self.poses = self.poses.at[row].set(jnp.asarray(pose))
 
     def append(self, color, depth, est, pose) -> int:
         row = self.n
@@ -202,11 +222,13 @@ class Mapper:
         if len(self.keyframes) == 0 or idx == 0:
             return True
 
-        # Covisibility with the last keyframe (mapper.py:141-167)
+        # Covisibility with the last keyframe (mapper.py:141-167) — one
+        # fused dispatch + one fetch (poses ride the call as numpy)
         last = self.keyframes[-1]
-        depth, sil, _ = render_depth_sil(g_act, jnp.asarray(last.pose), self.rs)
-        pts, valid = keyframe_world_points(depth, sil, jnp.asarray(last.pose), self.cam)
-        frac = covisibility_fraction(pts, valid, jnp.asarray(est_pose), self.cam)
+        frac = covis_check_last_kf(
+            g_act, np.asarray(last.pose, np.float32),
+            np.asarray(est_pose, np.float32), self.rs,
+        )
         if float(frac) > mp["min_covisibility"]:
             return False
         if idx - last.idx >= mp["kf_every"]:
@@ -244,13 +266,13 @@ class Mapper:
     def update_covisibility_graph(self, key: int, g_act):
         """mapper.py:242-277: link the new keyframe to covisible ones."""
         kf = self.keyframes[key]
-        pose = jnp.asarray(kf.pose)
-        depth, sil, _ = render_depth_sil(g_act, pose, self.rs)
-        pts, valid = keyframe_world_points(depth, sil, pose, self.cam)
+        pts, valid = kf_world_points(
+            g_act, np.asarray(kf.pose, np.float32), self.rs
+        )
         if len(self.keyframes) > 1:
-            others = jnp.asarray(
-                np.stack([k.pose for k in self.keyframes[:-1]])
-            )
+            others = np.stack(
+                [k.pose for k in self.keyframes[:-1]]
+            ).astype(np.float32)
             fracs = np.asarray(
                 covisibility_fractions_batch(pts, valid, others, self.cam)
             )
@@ -374,7 +396,7 @@ class Mapper:
             return t1
 
         t0 = time.perf_counter()
-        g_act = m.activated()
+        g_act = G.activate(m)
         mp = self.cfg["mapping"]
         depth_for_init = gt_depth_dev if self.cfg["use_gt_depth"] else est_depth_dev
 
@@ -402,7 +424,8 @@ class Mapper:
         t0 = time.perf_counter()
         if is_new_kf:
             stats = new_gaussian_candidates(
-                g_act, jnp.asarray(est_pose), gt_color_dev, depth_for_init,
+                g_act, np.asarray(est_pose, np.float32), gt_color_dev,
+                depth_for_init,
                 self.rs, first_frame=(idx == 0 and len(self.keyframes) == 0),
                 method=self.method,
             )
@@ -442,7 +465,7 @@ class Mapper:
                 jax.block_until_ready(m.xyz)
             t0 = _ph("map.candidates", t0)
             self.add_keyframe(idx, est_pose, gt_color_np, gt_depth_np,
-                              est_depth_np, m.activated())
+                              est_depth_np, G.activate(m))
             t0 = _ph("map.add_keyframe", t0)
 
         # window rows in the device store; -1 (current frame) -> scratch row 0
@@ -453,20 +476,24 @@ class Mapper:
         rows = [k + 1 for k in window] + [0]
         K = self.window_size + 1  # static window capacity (selected + current)
         rows_padded = rows + [0] * (K - len(rows))
-        rows_arr = jnp.asarray(rows_padded, jnp.int32)
+        rows_arr = np.asarray(rows_padded, np.int32)
 
-        kf_colors = self.kf_store.colors[rows_arr]
-        kf_depths = self.kf_store.depths[rows_arr]
-        kf_ests = self.kf_store.ests[rows_arr]
-        kf_poses = self.kf_store.poses[rows_arr]
+        kf_colors, kf_depths, kf_ests, kf_poses, pose_m0, pose_v0 = (
+            _gather_window(self.kf_store.colors, self.kf_store.depths,
+                           self.kf_store.ests, self.kf_store.poses, rows_arr)
+        )
 
-        schedule = jnp.asarray(self._build_schedule(len(rows)), jnp.int32)
+        schedule = np.asarray(self._build_schedule(len(rows)), np.int32)
         if self.decomp_on:
             jax.block_until_ready(kf_colors)
         t0 = _ph("map.window_upload", t0)
 
         cap = m.capacity
-        ba_mask = jnp.ones((cap,), bool)
+        ones = getattr(self, "_ones_cap", None)
+        if ones is None or ones.shape[0] != cap:
+            ones = jnp.ones((cap,), bool)
+            self._ones_cap = ones
+        ba_mask = ones
         if self.opt_settings.do_BA and idx > 0:
             from .map_ops import covisible_gaussian_mask
 
@@ -474,7 +501,7 @@ class Mapper:
                 [True] * len(rows) + [False] * (K - len(rows))
             )
             ba_mask = covisible_gaussian_mask(
-                m.activated(), kf_poses, pose_valid, self.rs, 2
+                G.activate(m), kf_poses, pose_valid, self.rs, 2
             )
             if new_vis_mask is not None:
                 # rows actually appended this frame: append_gaussians can clamp
@@ -498,10 +525,10 @@ class Mapper:
             denom=self.denom,
             ba_mask=ba_mask,
             kf_poses=kf_poses,
-            pose_m=jnp.zeros_like(kf_poses),
-            pose_v=jnp.zeros_like(kf_poses),
-            pose_step=jnp.asarray(0, jnp.int32),
-            last_loss=jnp.asarray(0.0, jnp.float32),
+            pose_m=pose_m0,
+            pose_v=pose_v0,
+            pose_step=np.int32(0),
+            last_loss=np.float32(0.0),
         )
         t0 = _ph("map.ba_mask", t0)
         out, map_overflow = optimize_map(

@@ -41,6 +41,39 @@ def _to_np(x):
     return None if x is None else np.asarray(x)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("rs",))
+def _binning_diag_jit(m, pose, rs):
+    """Fused overflow diagnostics: ONE dispatch + ONE [3] fetch.
+
+    Calling `project_for_pose` + `binning_diagnostics` eagerly dispatches
+    every SoA op through the tunnel separately (~30 ms each → ~1.4 s/frame,
+    round-5 golden decomposition); jitted it is one ~60 ms round trip."""
+    from ..ops.binning import binning_diagnostics
+    from ..ops.render import project_for_pose
+
+    proj = project_for_pose(m.activated(), pose, rs)
+    n_pairs, n_big, max_rect = binning_diagnostics(
+        proj, rs.cam, rs.max_tiles_per_gaussian, d1=rs.bin_d1
+    )
+    return jnp.stack([n_pairs.astype(jnp.int32), n_big.astype(jnp.int32),
+                      max_rect.astype(jnp.int32)])
+
+
+@partial(jax.jit, static_argnames=("rs",))
+def _eval_render_jit(m, pose, rs):
+    """No-grad eval/video render as one dispatch (render() is built from
+    jitted kernels but its eager glue costs ~50 tunnel round trips)."""
+    out = render(m.activated(), pose, rs)
+    return out["render"], out["depth"]
+
+
+_w2c_to_pose_jit = jax.jit(lambda w2c: w2c_to_pose(w2c))
+_propagate_const_vel_jit = jax.jit(propagate_const_vel)
+
+
 class SLAM:
     def __init__(self, cfg: dict):
         cfg = normalize_config(cfg)
@@ -214,6 +247,10 @@ class SLAM:
         from collections import defaultdict
 
         self.frame_decomp = defaultdict(float)
+        # per-frame phase rows (list of {phase: seconds} deltas) — the
+        # steady-state medians come from these; the mean over all frames is
+        # dominated by the first frames' remote jit compiles
+        self.frame_decomp_rows: list[dict] = []
         self._decomp_on = bool(self.cfg["debug"].get("frame_decomp"))
         self.mapper.decomp_on = self._decomp_on
         self.mapper.decomp = self.frame_decomp
@@ -250,7 +287,7 @@ class SLAM:
 
     def _restore_keyframes(self):
         results = np.load(os.path.join(self.output, "results.npz"), allow_pickle=True)
-        g_act = self.gaussians.activated()
+        g_act = G.activate(self.gaussians)
         for kf_dict in results["keyframes"]:
             kf = KeyFrame(
                 idx=int(kf_dict["idx"]),
@@ -265,6 +302,15 @@ class SLAM:
             self.mapper.update_covisibility_graph(k, g_act)
 
     # ------------------------------------------------------------------
+    def _zero_depth(self, like) -> jnp.ndarray:
+        """Cached [H, W] zeros (a fresh eager zeros_like is a per-frame
+        tunnel dispatch)."""
+        z = getattr(self, "_zero_depth_cache", None)
+        if z is None or z.shape != like.shape:
+            z = jnp.zeros_like(like)
+            self._zero_depth_cache = z
+        return z
+
     def get_scene_radius(self, depth) -> float:
         return float(jnp.max(depth)) / self.cfg["scene_radius_depth_ratio"]
 
@@ -272,7 +318,7 @@ class SLAM:
         """Motion-model pose seed (tracker.py:196-230)."""
         prev = jnp.asarray(self.estimate_pose_list[idx - 1])
         if self.dyn_model == "const_velocity" and idx - 2 >= 0:
-            return np.asarray(propagate_const_vel(
+            return np.asarray(_propagate_const_vel_jit(
                 prev, jnp.asarray(self.estimate_pose_list[idx - 2])
             ))
         if self.dyn_model == "imu":
@@ -329,12 +375,12 @@ class SLAM:
                 1.0 / (est_depth_dev + 0.001)
                 * self.cfg["cam"]["png_depth_scale"] / 10.0
             )
-        out = render(
-            self.gaussians.activated(), jnp.asarray(self.estimate_pose_list[idx]),
+        _, depth_sil = _eval_render_jit(
+            self.gaussians, jnp.asarray(self.estimate_pose_list[idx]),
             self.rs,
         )
-        render_depth = out["depth"][0]
-        sil = out["depth"][1]
+        render_depth = depth_sil[0]
+        sil = depth_sil[1]
         mask = (sil > 0.99) & (est_depth_dev > 1e-6)
         s, b = get_scale_shift_ls(est_depth_dev, render_depth, mask)
         return 1.0 / (s * est_depth_dev + b)
@@ -354,7 +400,14 @@ class SLAM:
         try:
             for idx in range(self.n_img):
                 t_frame = time.perf_counter()
+                decomp_before = dict(self.frame_decomp) if self._decomp_on else None
                 self._step(idx)
+                if self._decomp_on:
+                    self.frame_decomp_rows.append({
+                        k: v - decomp_before.get(k, 0.0)
+                        for k, v in self.frame_decomp.items()
+                        if v - decomp_before.get(k, 0.0) > 0.0
+                    })
                 if self.cfg["debug"].get("get_runtime_stats"):
                     print(
                         f"frame {idx + 1}/{self.n_img}: "
@@ -412,21 +465,21 @@ class SLAM:
         # --- Tracking --------------------------------------------------
         if idx == 0:
             self.estimate_pose_list[idx] = np.asarray(
-                w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+                _w2c_to_pose_jit(jnp.asarray(gt_w2c, jnp.float32))
             )
         elif self.cfg["tracking"]["use_gt_pose"]:
             self.estimate_pose_list[idx] = np.asarray(
-                w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+                _w2c_to_pose_jit(jnp.asarray(gt_w2c, jnp.float32))
             )
         else:
             seed = self._seed_pose(idx, imu_meas)
             t0 = time.perf_counter()
             pose, _loss, track_overflow = track_frame(
-                self.gaussians.activated(),
+                G.activate(self.gaussians),
                 jnp.asarray(seed, jnp.float32),
                 gt_color,
                 gt_depth,
-                est_depth if est_depth is not None else jnp.zeros_like(gt_depth),
+                est_depth if est_depth is not None else self._zero_depth(gt_depth),
                 self.track_settings,
             )
             pose = np.asarray(jax.block_until_ready(pose))
@@ -471,7 +524,7 @@ class SLAM:
 
         # --- Logging ---------------------------------------------------
         self.gt_pose_list[idx] = np.asarray(
-            w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+            _w2c_to_pose_jit(jnp.asarray(gt_w2c, jnp.float32))
         )
         if self.video_writer is not None and idx > 0:
             self._write_video_frame(idx, gt_color_np, gt_depth_np, est_depth_scaled)
@@ -490,24 +543,22 @@ class SLAM:
           ops/binning.py:442-507). One scalar fetch; breached frame indices
           are recorded in results.npz["binning_overflow_frames"].
         * predictive diagnostics from a fresh projection (which cap is
-          close/over, for the remedy hint) — approximate, advisory only.
+          close/over, for the remedy hint) — approximate, advisory only,
+          and computed ONLY on breach frames: on clean frames this check is
+          the single `run_overflow` scalar fetch (the eager every-frame
+          diagnostics cost 1.45 s/frame in the round-5 golden decomposition).
         """
-        from ..ops.binning import binning_diagnostics
-        from ..ops.render import project_for_pose
-
         breached = run_overflow is not None and bool(run_overflow)
-        if breached:
-            self.binning_overflow_frames.append(idx)
+        if not breached:
+            return
+        self.binning_overflow_frames.append(idx)
 
-        proj = project_for_pose(
-            self.gaussians.activated(),
-            jnp.asarray(self.estimate_pose_list[idx], jnp.float32), self.rs,
-        )
         d1 = self.rs.bin_d1
-        n_pairs, n_big, max_rect = binning_diagnostics(
-            proj, self.rs.cam, self.rs.max_tiles_per_gaussian, d1=d1
-        )
-        n_pairs, n_big, max_rect = int(n_pairs), int(n_big), int(max_rect)
+        diag = np.asarray(_binning_diag_jit(
+            self.gaussians,
+            jnp.asarray(self.estimate_pose_list[idx], jnp.float32), self.rs,
+        ))
+        n_pairs, n_big, max_rect = int(diag[0]), int(diag[1]), int(diag[2])
         cap = self.gaussians.capacity
         big_cap = max(cap // self.rs.bin_big_frac, 1)
         d2 = max(self.rs.max_tiles_per_gaussian, d1)
@@ -528,7 +579,7 @@ class SLAM:
             hinted = True
             print(f"[binning] WARNING frame {idx}: {n_pairs} pairs exceed "
                   f"tpu.pair_cap={self.rs.pair_cap}")
-        if breached and not hinted:
+        if not hinted:
             # the exact flag fired but no coarse diagnostic crossed its cap:
             # the breach is d2_live truncation or the aligned-buffer clamp
             print(f"[binning] WARNING frame {idx}: a rebin set its overflow "
@@ -543,13 +594,12 @@ class SLAM:
         way). The host fetch below is what makes the timing truthful
         through the async queue — eval renders are host-consumed anyway."""
         t0 = time.perf_counter()
-        out = render(
-            self.gaussians.activated(),
+        img, depth = _eval_render_jit(
+            self.gaussians,
             jnp.asarray(self.estimate_pose_list[idx], jnp.float32),
             self.rs,
         )
-        out["render"] = np.asarray(out["render"])
-        out["depth"] = np.asarray(out["depth"])
+        out = {"render": np.asarray(img), "depth": np.asarray(depth)}
         self.rendering_time_sum += time.perf_counter() - t0
         self.rendering_iter_count += 1
         return out
@@ -665,17 +715,30 @@ class SLAM:
         )
 
         if self._decomp_on and last_idx > 0:
+            # median over per-frame rows = steady state (the mean folds the
+            # first frames' minutes of remote jit compile into every phase)
+            phases = sorted(self.frame_decomp,
+                            key=self.frame_decomp.get, reverse=True)
+            rows = self.frame_decomp_rows
             print(f"\nPer-frame wall decomposition (debug.frame_decomp, "
-                  f"mean over {last_idx} frames):")
-            total = 0.0
-            for name in sorted(self.frame_decomp,
-                               key=self.frame_decomp.get, reverse=True):
-                v = self.frame_decomp[name] / last_idx
-                total += v
-                print(f"  {name:<24s} {v * 1000:>10.1f} ms/frame")
-            print(f"  {'(sum)':<24s} {total * 1000:>10.1f} ms/frame")
+                  f"{len(rows)} frames; median = steady state):")
+            print(f"  {'phase':<24s} {'median':>10s} {'mean':>10s}  ms/frame")
+            tot_med = tot_mean = 0.0
+            for name in phases:
+                per = np.asarray([r.get(name, 0.0) for r in rows])
+                med, mean = float(np.median(per)), float(per.mean())
+                tot_med += med
+                tot_mean += mean
+                print(f"  {name:<24s} {med * 1000:>10.1f} {mean * 1000:>10.1f}")
+            print(f"  {'(sum)':<24s} {tot_med * 1000:>10.1f} "
+                  f"{tot_mean * 1000:>10.1f}")
             results["frame_decomp"] = np.array(
                 dict(self.frame_decomp), dtype=object
+            )
+            results["frame_decomp_phases"] = np.asarray(phases, dtype=object)
+            results["frame_decomp_rows"] = np.asarray(
+                [[r.get(name, 0.0) for name in phases] for r in rows],
+                np.float64,
             )
 
         np.savez(os.path.join(self.output, "results"), **results)

@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.binning import TileBins
 
@@ -231,6 +232,26 @@ def _pose_fused_static(ts: TrackSettings) -> bool:
             and ts.rs.transform_means_python and ts.rs.sh_degree == 0)
 
 
+@jax.jit
+def _track_init(pose_init):
+    """Initial tracker Adam carry as one dispatch (q, T, m_q, v_q, m_T,
+    v_T, loss)."""
+    q0 = pose_init[:4]
+    T0 = pose_init[4:]
+    z4 = jnp.zeros_like(q0)
+    z3 = jnp.zeros_like(T0)
+    return (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
+
+
+@jax.jit
+def _track_finish(q, T, flags):
+    """Final pose assembly + overflow OR-reduce as one dispatch."""
+    ovf = flags[0]
+    for f in flags[1:]:
+        ovf = ovf | f
+    return jnp.concatenate([q, T]), ovf
+
+
 @partial(jax.jit, static_argnames=("ts",))
 def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
     from ..ops.binning import build_bins
@@ -259,6 +280,13 @@ def _track_bins(g: ActivatedGaussians, pose: jnp.ndarray, ts: TrackSettings):
                       align=align, d1=rs.bin_d1, big_frac=rs.bin_big_frac,
                       d2_live=rs.bin_d2_live,
                       reverse_tables=not _pose_fused_static(ts))
+
+
+@partial(jax.jit, static_argnames=("ts",))
+def _track_bins_qt(g: ActivatedGaussians, q: jnp.ndarray, T: jnp.ndarray,
+                   ts: TrackSettings):
+    """Rebin from the carry's (q, T) without an eager host-side concat."""
+    return _track_bins.__wrapped__(g, jnp.concatenate([q, T]), ts)
 
 
 @partial(jax.jit, static_argnames=("ts", "n_iters"))
@@ -377,24 +405,27 @@ def track_frame(
     initial_pose = jax.lax.stop_gradient(pose_init)
     rebin = max(int(ts.rebin_every), 1)
 
-    q0 = pose_init[:4]
-    T0 = pose_init[4:]
-    z4 = jnp.zeros_like(q0)
-    z3 = jnp.zeros_like(T0)
-    carry = (q0, T0, z4, z4, z3, z3, jnp.asarray(0.0, jnp.float32))
-    overflow = jnp.asarray(False)
+    # Host glue is DISPATCH-COUNT-optimized (round-5): every eager jnp op
+    # here is a separate ~30 ms tunnel round trip, so init/rebin-pose/
+    # finish are fused jits and segment indices are numpy scalars that ride
+    # the jitted calls.
+    carry = _track_init(pose_init)
+    flags = []
 
     i = 0
     while i < ts.iters:
-        pose = pose_init if i == 0 else jnp.concatenate([carry[0], carry[1]])
-        bins = _track_bins(g, pose, ts)
-        overflow = overflow | bins_overflow(bins)
+        if i == 0:
+            bins = _track_bins(g, pose_init, ts)
+        else:
+            bins = _track_bins_qt(g, carry[0], carry[1], ts)
+        flags.append(bins_overflow(bins))
         n = min(rebin, ts.iters - i)
         carry = _track_segment(
-            g, carry, bins, jnp.asarray(i, jnp.int32), gt_color, gt_depth,
+            g, carry, bins, np.int32(i), gt_color, gt_depth,
             est_depth, initial_pose, ts, n,
         )
         i += n
 
     q, T, *_, loss = carry
-    return jnp.concatenate([q, T]), loss, overflow
+    pose, overflow = _track_finish(q, T, tuple(flags))
+    return pose, loss, overflow

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--config", default="configs/synthetic_tum.yml")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--decomp", action="store_true")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="override synthetic n_frames (short profiling runs)")
     args = ap.parse_args()
 
     from mm3dgs_slam_tpu.config import load_config
@@ -33,6 +35,8 @@ def main():
         cfg["outputdir"] = args.outdir
     if args.decomp:
         cfg["debug"]["frame_decomp"] = True
+    if args.frames is not None:
+        cfg["synthetic"]["n_frames"] = args.frames
     os.makedirs(cfg["outputdir"], exist_ok=True)
     SLAM(cfg).run()
 
