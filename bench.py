@@ -164,7 +164,8 @@ def main():
     # quietly dropped ~45k gaussians.
     rs = RenderSettings(cam=cam, pair_cap=1 << 20, max_per_tile=1024, chunk=32,
                         max_tiles_per_gaussian=16, use_pallas=on_tpu,
-                        bin_d1=4, bin_big_frac=7,
+                        bin_d1=4, bin_big_frac=12,  # n_big census 8441; 1.3x
+                                                    # headroom (round-5)
                         bin_d2_live=8,     # post-cull live-tile max is 7
                         grad_bf16=False)  # f32 grads: bf16 measured no
                                            # in-loop win at this scale
